@@ -1,0 +1,64 @@
+"""Benchmark: sustained 160x120 segmentation inference frames/sec on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the driver-set north-star of 10_000 frames/sec for the
+FCDenseNet67 4-class segmenter (BASELINE.json; the torch reference ran
+batch-1 per-frame inference, makeDemoVideo.py:15-47).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 10_000.0
+
+
+def main() -> None:
+    from sim2real_lane_segment_tpu.core.runtime import setup_cache
+    setup_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sim2real_lane_segment_tpu.core.dtypes import DEFAULT_POLICY
+    from sim2real_lane_segment_tpu.models.tiramisu import fcdensenet67
+    from sim2real_lane_segment_tpu.ops.augment import AugmentConfig, eval_batch
+
+    cfg = AugmentConfig()
+    model = fcdensenet67(4, policy=DEFAULT_POLICY)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 120, 160, 3), jnp.float32))
+
+    @jax.jit
+    def infer(images_u8):
+        x, _ = eval_batch(images_u8, None, cfg, with_labels=False)
+        out = model.apply(variables, x, train=False, use_softmax=False)
+        return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+
+    batch = 256
+    frames = np.random.default_rng(0).integers(
+        0, 255, (batch, 120, 160, 3), dtype=np.uint8)
+
+    # warmup/compile
+    infer(frames).block_until_ready()
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = infer(frames)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = batch * n_iters / dt
+    print(json.dumps({
+        "metric": "seg_inference_fps_160x120",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

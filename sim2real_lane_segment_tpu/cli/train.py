@@ -1,0 +1,114 @@
+"""Unified training CLI — the reference ``train.py`` rebuilt TPU-native.
+
+Same interface (reference train.py:78-107): ``--trainType sim|st|mme``,
+``--dataPath``, ``--pretrained_path`` (mme), ``--model_name``,
+``--reproducible``, data/model argument groups, ``--max_epochs``.
+
+Differences by design: training runs as jitted XLA steps with on-device
+augmentation; ``--comet``/``--wandb`` are accepted but map to the local
+tensorboard/JSONL logger (those services need network egress); data
+parallelism works (sharded deterministic samplers) instead of being
+documented-broken.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--trainType", choices=["sim", "st", "mme"], required=True,
+                   help="Type of training method")
+    p.add_argument("--dataPath", type=str, required=True, help="Path of database root")
+    p.add_argument("--pretrained_path", type=str,
+                   help="MME training uses pretrained weights. Use this to define path to it.")
+    p.add_argument("--model_name", type=str, default="baseline",
+                   help="Model identifier for logging and checkpoints.")
+    p.add_argument("--reproducible", action="store_true",
+                   help="Seed everything to 42 for a deterministic run.")
+    p.add_argument("--comet", action="store_true",
+                   help="Accepted for interface parity; logs locally (no egress).")
+    p.add_argument("--wandb", action="store_true",
+                   help="Accepted for interface parity; logs locally (no egress).")
+    p.add_argument("--max_epochs", type=int, default=175)
+    p.add_argument("--default_root_dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--arch", choices=["67", "57", "103", "tiny"], default="67",
+                   help="FCDenseNet variant (reference trained 67; "
+                        "'tiny' is a fast smoke-test config)")
+    common.add_data_args(p)
+    common.add_model_args(p)
+    return p
+
+
+def main(args=None) -> dict:
+    common.setup_logging()
+    common.setup_runtime()
+    args = build_parser().parse_args(args)
+
+    import jax
+
+    from ..data.modules import (SimulatorDataModule, TwoDomainDataModule,
+                                TwoDomainMMEDataModule)
+    from ..train.loop import fit
+    from ..train.mme import MMETrainer
+    from ..train.supervised import SupervisedTrainer
+    from ..train import checkpoint as ckpt
+
+    seed = 42 if args.reproducible else args.seed
+    out_dir = os.path.join(args.default_root_dir or "results", args.model_name)
+
+    kw = dict(data_path=args.dataPath, batch_size=args.batch_size,
+              seed=seed, load_into_memory=args.load2memory)
+    model = None
+    if args.arch != "67":
+        from ..models.tiramisu import FCDenseNet, fcdensenet57, fcdensenet103
+        model = {"57": lambda: fcdensenet57(4),
+                 "103": lambda: fcdensenet103(4),
+                 "tiny": lambda: FCDenseNet(
+                     n_classes=4, down_blocks=(2, 2), up_blocks=(2, 2),
+                     bottleneck_layers=2, growth_rate=4,
+                     out_chans_first_conv=8)}[args.arch]()
+    tkw = dict(num_cls=4, lr=args.learningRate, decay=args.decay,
+               lr_ratio=args.lrRatio, height=args.height, width=args.width,
+               gray=args.gray, augment=args.augment, model=model)
+
+    train_step_fn = None
+    if args.trainType == "sim":
+        data = SimulatorDataModule(**kw)
+        trainer = SupervisedTrainer(**tkw)
+    elif args.trainType == "st":
+        data = TwoDomainDataModule(**kw)
+        trainer = SupervisedTrainer(**tkw)
+    elif args.trainType == "mme":
+        if not args.pretrained_path:
+            raise SystemExit("--trainType=mme requires --pretrained_path")
+        data = TwoDomainMMEDataModule(**kw)
+        trainer = MMETrainer(**tkw)
+
+        def train_step_fn(state, batch, key, epoch):
+            (x_lab, y), x_unl = batch
+            lr_g_fe, lr_g_cls, lr_f = trainer.lrs_at(epoch)
+            return trainer.mme_train_step(state, x_lab, y, x_unl, key,
+                                          lr_g_fe, lr_g_cls, lr_f)
+    else:  # pragma: no cover
+        raise RuntimeError(f"Not recognizable training type: {args.trainType}")
+
+    data.setup()
+    state = trainer.init_state(jax.random.key(seed))
+    if args.trainType == "mme":
+        state = ckpt.load_weights(args.pretrained_path, state)
+
+    best_state, best_iou, _ = fit(
+        trainer, state, data, max_epochs=args.max_epochs, out_dir=out_dir,
+        model_name=args.model_name, seed=seed, train_step_fn=train_step_fn)
+    logging.info("best val_iou %.4f; artifacts in %s", best_iou, out_dir)
+    return {"best_iou": best_iou, "out_dir": out_dir}
+
+
+if __name__ == "__main__":
+    main()

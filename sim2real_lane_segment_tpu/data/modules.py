@@ -1,0 +1,142 @@
+"""Data modules: the three training-regime data configurations.
+
+Rebuilds the reference's LightningDataModules
+(rightLaneNetwork/dataManagement/dataModules.py:11-128) as host-side batch
+producers that hand raw uint8 batches to the on-device transform pipeline:
+
+- ``SimulatorDataModule``  — train/valid/test under one root (regime 'sim').
+- ``TwoDomainDataModule``  — source + target/train with 50/50 domain
+  sampling; val == test == target/test (regime 'st').
+- ``TwoDomainMMEDataModule`` — additionally pairs every labelled draw with
+  an unlabelled target frame (regime 'mme'); asserts
+  len(labelled) <= len(unlabelled) like the reference (dataModules.py:112).
+
+Unlike the reference (augmentation on 8 dataloader worker processes),
+batches leave the host as stacked uint8; resize/augment/normalize run on
+TPU (ops/augment.py).  A background thread pool overlaps disk reads with
+device compute (see prefetch.py).
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from . import samplers
+from .datasets import RightLaneDataset
+
+Batch = Tuple[np.ndarray, np.ndarray | None]
+
+
+class BaseDataModule:
+    def __init__(self, data_path: str, *, batch_size: int = 32, seed: int = 42,
+                 load_into_memory: bool = False, shard_id: int = 0,
+                 num_shards: int = 1):
+        self.data_path = data_path
+        self.batch_size = batch_size
+        self.seed = seed
+        self.load_into_memory = load_into_memory
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.datasets: dict[str, RightLaneDataset] = {}
+
+    # -- subclass API -------------------------------------------------------
+    def setup(self) -> None:
+        raise NotImplementedError
+
+    def train_batches(self, epoch: int) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def _eval_batches(self, ds: RightLaneDataset) -> Iterator[Batch]:
+        idx = np.arange(len(ds))
+        for b in samplers.batched(idx, self.batch_size, drop_last=False):
+            yield ds.read_batch(b)
+
+    def val_batches(self) -> Iterator[Batch]:
+        return self._eval_batches(self.datasets["valid"])
+
+    def test_batches(self) -> Iterator[Batch]:
+        return self._eval_batches(self.datasets["test"])
+
+    def steps_per_epoch(self, n: int) -> int:
+        return n // (self.batch_size * self.num_shards)
+
+
+class SimulatorDataModule(BaseDataModule):
+    def setup(self) -> None:
+        self.datasets["train"] = RightLaneDataset(
+            os.path.join(self.data_path, "train"), True,
+            load_into_memory=self.load_into_memory)
+        self.datasets["valid"] = RightLaneDataset(
+            os.path.join(self.data_path, "valid"), True,
+            load_into_memory=self.load_into_memory)
+        self.datasets["test"] = RightLaneDataset(
+            os.path.join(self.data_path, "test"), True)
+
+    def train_batches(self, epoch: int) -> Iterator[Batch]:
+        ds = self.datasets["train"]
+        idx = samplers.shuffle_epoch(len(ds), self.seed, epoch)
+        idx = samplers.shard(idx, self.shard_id, self.num_shards, self.batch_size)
+        for b in samplers.batched(idx, self.batch_size, drop_last=True):
+            yield ds.read_batch(b)
+
+
+class TwoDomainDataModule(BaseDataModule):
+    def setup(self) -> None:
+        self.datasets["source"] = RightLaneDataset(
+            os.path.join(self.data_path, "source"), True,
+            load_into_memory=self.load_into_memory)
+        self.datasets["targetTrain"] = RightLaneDataset(
+            os.path.join(self.data_path, "target", "train"), True,
+            load_into_memory=self.load_into_memory)
+        self.datasets["targetTest"] = RightLaneDataset(
+            os.path.join(self.data_path, "target", "test"), True)
+        # reference: val == test == target/test (dataModules.py:87-92)
+        self.datasets["valid"] = self.datasets["targetTest"]
+        self.datasets["test"] = self.datasets["targetTest"]
+
+    def _concat_read(self, indices) -> Batch:
+        src, tgt = self.datasets["source"], self.datasets["targetTrain"]
+        xs, ys = [], []
+        for i in indices:
+            i = int(i)
+            x, y = src[i] if i < len(src) else tgt[i - len(src)]
+            xs.append(x)
+            ys.append(y)
+        return np.stack(xs), np.stack(ys)
+
+    def train_batches(self, epoch: int) -> Iterator[Batch]:
+        idx = samplers.two_domain_epoch(
+            len(self.datasets["source"]), len(self.datasets["targetTrain"]),
+            self.seed, epoch)
+        idx = samplers.shard(idx, self.shard_id, self.num_shards, self.batch_size)
+        for b in samplers.batched(idx, self.batch_size, drop_last=True):
+            yield self._concat_read(b)
+
+
+class TwoDomainMMEDataModule(TwoDomainDataModule):
+    def setup(self) -> None:
+        super().setup()
+        self.datasets["targetUnlabelled"] = RightLaneDataset(
+            os.path.join(self.data_path, "target", "unlabelled"), False,
+            load_into_memory=self.load_into_memory)
+        n_labelled = len(self.datasets["source"]) + len(self.datasets["targetTrain"])
+        assert n_labelled <= len(self.datasets["targetUnlabelled"]), (
+            "MME requires len(labelled) <= len(unlabelled) "
+            "(reference dataModules.py:112)")
+
+    def train_batches(self, epoch: int) -> Iterator[Batch]:
+        """Yields ((x_labelled, y), x_unlabelled) 4-tuple batches."""
+        unl = self.datasets["targetUnlabelled"]
+        lab_idx, unl_idx = samplers.mme_epoch(
+            len(self.datasets["source"]), len(self.datasets["targetTrain"]),
+            len(unl), self.seed, epoch)
+        lab_idx = samplers.shard(lab_idx, self.shard_id, self.num_shards, self.batch_size)
+        unl_idx = samplers.shard(unl_idx, self.shard_id, self.num_shards, self.batch_size)
+        lab_b = samplers.batched(lab_idx, self.batch_size, drop_last=True)
+        unl_b = samplers.batched(unl_idx, self.batch_size, drop_last=True)
+        for lb, ub in zip(lab_b, unl_b):
+            x_lab, y = self._concat_read(lb)
+            x_unl, _ = unl.read_batch(ub)
+            yield (x_lab, y), x_unl

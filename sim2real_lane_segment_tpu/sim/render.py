@@ -1,0 +1,291 @@
+"""JAX ray-cast renderer for the tile world — the OpenGL replacement.
+
+The reference rendered with pyglet fixed-function OpenGL into an FBO and
+read pixels back (simulator.py:1403-1614).  Here a camera frame is one
+jitted gather pipeline, batchable over poses (vmap) and frames:
+
+  pixel grid -> pinhole rays (pitch + heading rotation)
+             -> ground-plane intersection (y=0)
+             -> tile index + in-tile UV (orientation-rotated)
+             -> texture-atlas bilinear gather (base or annotated slot)
+             -> objects composited by ray-cylinder/billboard depth test
+             -> lighting scale + camera noise (domain randomization).
+
+Pixel-aligned (normal, annotated) pairs are structural: both variants use
+the SAME rays and DR parameters, only the atlas slot offset differs — the
+reference needed the `_perturb(use_last_noise=True)` replay hack for this
+(simulator.py:759-781, 1616-1635).
+
+The fisheye distortion (distortion.py in the reference, an O(H*W) python
+loop at init) becomes a one-time remap of the pixel->ray grid.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .maps import Map
+from .textures import RES, TILE_KINDS, build_atlas, rotate_tex_index, \
+    ANNOT_OBSTACLE
+from .physics import CAMERA_ANGLE, CAMERA_FORWARD_DIST, CAMERA_HEIGHT
+
+CAMERA_FOV_Y = 75.0  # vertical field of view, degrees
+SKY_TOP = np.array([90, 160, 220], np.float32)
+SKY_HORIZON = np.array([180, 210, 235], np.float32)
+
+
+class SceneArrays(NamedTuple):
+    """Static device arrays describing one map."""
+    atlas: jax.Array        # (n_slots, RES, RES, 3) uint8
+    tile_slot: jax.Array    # (gh, gw) int32 — base atlas slot per tile
+    tile_rot: jax.Array     # (gh, gw) int32 — number of 90° uv rotations
+    tile_size: float
+    grid_hw: tuple[int, int]
+    # objects: cylinders (x, z, radius, height, r, g, b, annotated_flag)
+    objects: jax.Array      # (n_obj, 8) float32 (zero rows when none)
+
+
+OBJECT_COLORS = {
+    "duckie": (240, 215, 50),
+    "duckiebot": (60, 60, 170),
+    "cone": (230, 120, 40),
+    "barrier": (200, 50, 40),
+    "sign": (180, 180, 180),
+    "tree": (30, 110, 40),
+    "building": (160, 140, 120),
+    "house": (160, 140, 120),
+    "truck": (120, 120, 130),
+    "bus": (200, 180, 60),
+}
+OBJECT_RADII = {"duckie": 0.06, "duckiebot": 0.08, "cone": 0.05,
+                "barrier": 0.15, "tree": 0.2, "building": 0.4}
+
+
+def build_scene(m: Map, seed: int = 0) -> SceneArrays:
+    atlas_np, kind_index = build_atlas(seed)
+    gh, gw = m.grid_height, m.grid_width
+    slot = np.zeros((gh, gw), np.int32)
+    rot = np.zeros((gh, gw), np.int32)
+    for j in range(gh):
+        for i in range(gw):
+            t = m.tiles[j][i]
+            if t is None:
+                slot[j, i] = kind_index["floor"]
+            else:
+                kind = t.kind if t.kind in kind_index else "asphalt"
+                slot[j, i] = kind_index[kind]
+                rot[j, i] = rotate_tex_index(t.orientation)
+    objs = []
+    for o in m.objects:
+        color = OBJECT_COLORS.get(o.kind, (150, 150, 150))
+        radius = OBJECT_RADII.get(o.kind, 0.08)
+        # duckies/bots/cones on drivable tiles are "obstacles" — their
+        # annotated render is pure red (postprocess_v2 r>0 rule)
+        annotated = 1.0 if o.kind in ("duckie", "duckiebot", "cone") else 0.0
+        objs.append([o.pos[0] * m.tile_size, o.pos[1] * m.tile_size,
+                     radius, o.height, *color, annotated])
+    if not objs:
+        objs = [[1e9, 1e9, 0.0, 0.0, 0, 0, 0, 0.0]]
+    return SceneArrays(
+        atlas=jnp.asarray(atlas_np),
+        tile_slot=jnp.asarray(slot),
+        tile_rot=jnp.asarray(rot),
+        tile_size=m.tile_size,
+        grid_hw=(gh, gw),
+        objects=jnp.asarray(np.asarray(objs, np.float32)))
+
+
+# ---------------------------------------------------------------------------
+# rays
+# ---------------------------------------------------------------------------
+
+def make_ray_grid(height: int, width: int, fov_y: float = CAMERA_FOV_Y,
+                  distortion: bool = False) -> np.ndarray:
+    """(H, W, 3) camera-frame ray directions (x right, y up, z forward).
+
+    With ``distortion`` the pinhole grid is remapped through the fisheye
+    model once at build time (the reference's Distortion class with RasPi
+    intrinsics, distortion.py:10-36).
+    """
+    aspect = width / height
+    tan_y = np.tan(np.radians(fov_y) / 2)
+    ys = np.linspace(1, -1, height) * tan_y
+    xs = np.linspace(-1, 1, width) * tan_y * aspect
+    xx, yy = np.meshgrid(xs, ys)
+    dirs = np.stack([xx, yy, np.ones_like(xx)], axis=-1)
+    if distortion:
+        # equidistant fisheye remap: r_d = f*theta approximation
+        r = np.sqrt(xx ** 2 + yy ** 2)
+        theta = np.arctan(r)
+        k = np.where(r > 1e-8, np.tan(theta * 0.92) / np.maximum(r, 1e-8), 1.0)
+        dirs = np.stack([xx * k, yy * k, np.ones_like(xx)], axis=-1)
+    return (dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def rotate_rays(rays: jax.Array, pitch_deg: float, heading: jax.Array) -> jax.Array:
+    """Apply downward pitch then yaw(heading) to camera rays -> world frame.
+
+    World frame: x east, y up, z south; heading 0 looks along +x.
+    """
+    p = jnp.radians(pitch_deg)
+    cy, sy = jnp.cos(p), jnp.sin(p)
+    x, y, z = rays[..., 0], rays[..., 1], rays[..., 2]
+    # pitch down about camera x-axis
+    y2 = y * cy + z * sy * 0  # keep y for clarity below
+    y2 = y * cy - z * sy
+    z2 = y * sy + z * cy
+    # yaw: camera +z (forward) maps to heading direction (cos a, 0, -sin a)
+    ca, sa = jnp.cos(heading), jnp.sin(heading)
+    wx = z2 * ca + x * sa
+    wz = -z2 * sa + x * ca
+    return jnp.stack([wx, y2, wz], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# shading
+# ---------------------------------------------------------------------------
+
+def _sample_atlas(atlas, slot, uv):
+    """Bilinear gather: slot (H,W) int32, uv (H,W,2) in [0,1)."""
+    f = uv * (RES - 1)
+    x0 = jnp.floor(f).astype(jnp.int32)
+    frac = f - x0
+    x1 = jnp.minimum(x0 + 1, RES - 1)
+
+    def g(iy, ix):
+        return atlas[slot, iy, ix].astype(jnp.float32)
+
+    c00 = g(x0[..., 1], x0[..., 0])
+    c10 = g(x0[..., 1], x1[..., 0])
+    c01 = g(x1[..., 1], x0[..., 0])
+    c11 = g(x1[..., 1], x1[..., 0])
+    wx = frac[..., 0:1]
+    wy = frac[..., 1:2]
+    return (c00 * (1 - wx) * (1 - wy) + c10 * wx * (1 - wy) +
+            c01 * (1 - wx) * wy + c11 * wx * wy)
+
+
+def _rotate_uv(uv, rot):
+    """Rotate in-tile uv by rot*90° CCW (rot in {0,1,2,3})."""
+    u, v = uv[..., 0], uv[..., 1]
+    u1 = jnp.select([rot == 0, rot == 1, rot == 2, rot == 3],
+                    [u, v, 1 - u, 1 - v])
+    v1 = jnp.select([rot == 0, rot == 1, rot == 2, rot == 3],
+                    [v, 1 - u, 1 - v, u])
+    return jnp.stack([u1, v1], axis=-1)
+
+
+class DRParams(NamedTuple):
+    """Domain-randomization parameters (randomization/randomizer.py analog)."""
+    light_rgb: jax.Array    # (3,) per-channel light scale
+    noise_sigma: jax.Array  # camera gaussian noise sigma (uint8 units)
+    horizon_shift: jax.Array  # sky color shift
+
+    @staticmethod
+    def default():
+        return DRParams(jnp.ones(3), jnp.zeros(()), jnp.zeros(()))
+
+    @staticmethod
+    def sample(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return DRParams(
+            light_rgb=jax.random.uniform(k1, (3,), minval=0.75, maxval=1.15),
+            noise_sigma=jax.random.uniform(k2, (), minval=0.0, maxval=4.0),
+            horizon_shift=jax.random.uniform(k3, (), minval=-25.0, maxval=25.0))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "annotated",
+                                             "distortion"))
+def render_frame(scene: SceneArrays, pos: jax.Array, angle: jax.Array,
+                 dr: DRParams, noise_key: jax.Array, *,
+                 height: int = 480, width: int = 640,
+                 annotated: bool = False, distortion: bool = False) -> jax.Array:
+    """Render one (height, width, 3) uint8 RGB frame."""
+    rays_cam = jnp.asarray(make_ray_grid(height, width, distortion=distortion))
+    rays = rotate_rays(rays_cam, -CAMERA_ANGLE, angle)
+
+    cam_pos = jnp.stack([
+        pos[0] + CAMERA_FORWARD_DIST * jnp.cos(angle),
+        jnp.asarray(CAMERA_HEIGHT, jnp.float32),
+        pos[1] - CAMERA_FORWARD_DIST * jnp.sin(angle)])
+
+    dy = rays[..., 1]
+    hits_ground = dy < -1e-5
+    t = jnp.where(hits_ground, -cam_pos[1] / jnp.where(hits_ground, dy, -1.0), jnp.inf)
+    hx = cam_pos[0] + t * rays[..., 0]
+    hz = cam_pos[2] + t * rays[..., 2]
+
+    ts = scene.tile_size
+    gh, gw = scene.grid_hw
+    ti = jnp.floor(hx / ts).astype(jnp.int32)
+    tj = jnp.floor(hz / ts).astype(jnp.int32)
+    in_grid = (ti >= 0) & (ti < gw) & (tj >= 0) & (tj < gh)
+    tic = jnp.clip(ti, 0, gw - 1)
+    tjc = jnp.clip(tj, 0, gh - 1)
+
+    slot = scene.tile_slot[tjc, tic] + (1 if annotated else 0)
+    rot = scene.tile_rot[tjc, tic]
+    uv = jnp.stack([hx / ts - ti, hz / ts - tj], axis=-1)
+    uv = _rotate_uv(jnp.clip(uv, 0.0, 1.0 - 1e-6), rot)
+    ground_rgb = _sample_atlas(scene.atlas, slot, uv)
+    # outside the grid: dark floor
+    ground_rgb = jnp.where(in_grid[..., None], ground_rgb,
+                           jnp.asarray([60.0, 70.0, 60.0]))
+
+    # sky: vertical gradient above the horizon
+    up = jnp.clip(dy, 0.0, 1.0)[..., None]
+    sky = (jnp.asarray(SKY_HORIZON) * (1 - up) + jnp.asarray(SKY_TOP) * up
+           + dr.horizon_shift)
+    rgb = jnp.where(hits_ground[..., None], ground_rgb, sky)
+    depth = jnp.where(hits_ground, t, jnp.inf)
+
+    # ---- objects: vertical cylinders, nearest-hit composite
+    def composite(carry, obj):
+        rgb, depth = carry
+        ox, oz, radius, h_obj, r, g, b, annot = (obj[0], obj[1], obj[2],
+                                                 obj[3], obj[4], obj[5],
+                                                 obj[6], obj[7])
+        # ray-cylinder (axis vertical at (ox, oz))
+        dx, dyr, dz = rays[..., 0], rays[..., 1], rays[..., 2]
+        fx = cam_pos[0] - ox
+        fz = cam_pos[2] - oz
+        a = dx * dx + dz * dz
+        bq = 2 * (fx * dx + fz * dz)
+        c = fx * fx + fz * fz - radius * radius
+        disc = bq * bq - 4 * a * c
+        hit = disc > 0
+        tq = (-bq - jnp.sqrt(jnp.where(hit, disc, 0.0))) / (2 * a + 1e-12)
+        ylevel = cam_pos[1] + tq * dyr
+        valid = hit & (tq > 0) & (ylevel > 0) & (ylevel < h_obj) & (tq < depth)
+        if annotated:
+            color = jnp.where(annot > 0.5,
+                              jnp.asarray(ANNOT_OBSTACLE, jnp.float32),
+                              jnp.asarray([r, g, b]))
+        else:
+            # simple vertical shading
+            color = jnp.asarray([r, g, b])
+        shade = 0.7 + 0.3 * jnp.clip(ylevel / jnp.maximum(h_obj, 1e-3), 0, 1)
+        new_rgb = jnp.where(valid[..., None], color * shade[..., None], rgb)
+        new_depth = jnp.where(valid, tq, depth)
+        return (new_rgb, new_depth), None
+
+    (rgb, depth), _ = jax.lax.scan(composite, (rgb, depth), scene.objects)
+
+    # ---- domain randomization: light scale + camera noise
+    rgb = rgb * dr.light_rgb
+    noise = jax.random.normal(noise_key, rgb.shape) * dr.noise_sigma
+    rgb = rgb + noise
+    return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
+
+
+def render_pair(scene: SceneArrays, pos, angle, dr: DRParams, noise_key,
+                **kw) -> tuple[jax.Array, jax.Array]:
+    """Pixel-aligned (normal, annotated) pair: same rays, same DR, same
+    noise key — alignment by construction."""
+    orig = render_frame(scene, pos, angle, dr, noise_key, annotated=False, **kw)
+    annot = render_frame(scene, pos, angle, dr, noise_key, annotated=True, **kw)
+    return orig, annot

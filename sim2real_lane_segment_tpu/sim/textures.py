@@ -1,0 +1,165 @@
+"""Procedural tile textures + annotated (cv/ccv) variants.
+
+The reference shipped photographic road textures in three variants per
+tile kind — base, `_cv`, `_ccv` — where the annotated versions recolor the
+right-lane surface pure green, the left lane pure blue and obstacles red
+(graphics.py:25-65 texture triples; postprocess_v2.py's channel-sign rules
+decode exactly those recolorings).  Here the textures are *generated*:
+asphalt with white edge lines and a dashed yellow center line, with the
+annotated variants recoloring each half-lane so the downstream label
+extraction sees the same channel-sign structure.
+
+Conventions (texture space, N orientation):
+- u along texture x (west→east), v along texture y (north→south);
+- a 'straight/N' tile's road runs along v (north-south): right lane =
+  east half for a southbound driver... we fix: lane to the RIGHT of the
+  center line when driving in the tile's canonical direction = u > 0.5.
+- annotation colors (RGB): right lane (0,255,0), left lane (0,0,255),
+  obstacles (255,0,0) — matching the g/b/r diff rules of
+  postprocess_v2.py:33-37 (frames are written BGR by the recorder).
+
+All textures are (R, R, 3) uint8 arrays stacked into an atlas the
+renderer gathers from; index 0 = base, 1 = cv (lanes annotated),
+2 = ccv (lanes + obstacle meshes annotated — same tile texture as cv).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+RES = 256  # texture resolution
+
+ANNOT_RIGHT = np.array([0, 255, 0], np.uint8)   # green
+ANNOT_LEFT = np.array([0, 0, 255], np.uint8)    # blue
+ANNOT_OBSTACLE = np.array([255, 0, 0], np.uint8)  # red
+
+ROAD = np.array([40, 40, 44], np.uint8)
+ROAD_NOISE = 12
+WHITE = np.array([230, 230, 230], np.uint8)
+YELLOW = np.array([220, 190, 40], np.uint8)
+GRASS = np.array([42, 130, 60], np.uint8)
+FLOOR = np.array([140, 120, 100], np.uint8)
+
+# geometry of a duckietown tile (fractions of tile width)
+EDGE_LINE_POS = 0.04      # white edge line inner position
+EDGE_LINE_W = 0.045
+CENTER_LINE_W = 0.025
+DASH_PERIOD = 0.25
+DASH_DUTY = 0.5
+
+
+def _base_asphalt(rng: np.random.Generator) -> np.ndarray:
+    noise = rng.integers(-ROAD_NOISE, ROAD_NOISE + 1, (RES, RES, 1))
+    tex = np.clip(ROAD.astype(int) + noise, 0, 255).astype(np.uint8)
+    return tex
+
+
+def _uv():
+    v, u = np.meshgrid(np.linspace(0, 1, RES, endpoint=False),
+                       np.linspace(0, 1, RES, endpoint=False), indexing="ij")
+    return u + 0.5 / RES, v + 0.5 / RES
+
+
+def straight_masks():
+    """Masks for a straight/N tile: road along v, center line at u=0.5.
+
+    Right lane (canonical direction = +v, i.e. driving "down" texture
+    space) is u in (0.5, 1); left lane u in (0, 0.5).
+    """
+    u, v = _uv()
+    white = ((np.abs(u - EDGE_LINE_POS - EDGE_LINE_W / 2) < EDGE_LINE_W / 2) |
+             (np.abs(u - (1 - EDGE_LINE_POS - EDGE_LINE_W / 2)) < EDGE_LINE_W / 2))
+    dash = (v % DASH_PERIOD) < DASH_PERIOD * DASH_DUTY
+    yellow = (np.abs(u - 0.5) < CENTER_LINE_W / 2) & dash
+    right = u > 0.5
+    return white, yellow, right
+
+
+def curve_masks(flavor: str):
+    """curve_left/N connects the south edge to the west edge (a quarter
+    annulus centered on the SW corner); curve_right mirrors to SE."""
+    u, v = _uv()
+    if flavor == "left":
+        cu, cv = 0.0, 1.0
+    else:
+        cu, cv = 1.0, 1.0
+    r = np.hypot(u - cu, v - cv)
+    road = (r > 0.0) & (r < 1.0)
+    white = ((np.abs(r - EDGE_LINE_POS - EDGE_LINE_W / 2) < EDGE_LINE_W / 2) |
+             (np.abs(r - (1 - EDGE_LINE_POS - EDGE_LINE_W / 2)) < EDGE_LINE_W / 2))
+    theta = np.arctan2(v - cv, u - cu)
+    dash = (np.abs(theta) % 0.4) < 0.2
+    yellow = (np.abs(r - 0.5) < CENTER_LINE_W / 2) & dash
+    # outer half-annulus is the right lane for the canonical direction
+    right = r > 0.5
+    return white, yellow, right, road
+
+
+def intersection_masks(kind: str):
+    """3way/4way: crossing straight roads, no center annotation masks
+    except the through-lanes."""
+    u, v = _uv()
+    white = np.zeros_like(u, bool)
+    yellow = np.zeros_like(u, bool)
+    right = u > 0.5  # through direction annotation
+    return white, yellow, right
+
+
+def make_tile_texture(kind: str, rng: np.random.Generator,
+                      annotated: bool) -> np.ndarray:
+    tex = _base_asphalt(rng)
+    if kind in ("grass", "floor", "asphalt"):
+        if kind == "grass":
+            noise = rng.integers(-10, 11, (RES, RES, 1))
+            tex = np.clip(GRASS.astype(int) + noise, 0, 255).astype(np.uint8)
+        elif kind == "floor":
+            tex = np.broadcast_to(FLOOR, (RES, RES, 3)).copy()
+        return tex
+
+    if kind == "straight":
+        white, yellow, right = straight_masks()
+        road = np.ones((RES, RES), bool)
+    elif kind in ("curve_left", "curve_right"):
+        white, yellow, right, road = curve_masks(kind.split("_")[1])
+        # outside the annulus: grass
+        tex[~road] = GRASS
+    else:  # intersections
+        white, yellow, right = intersection_masks(kind)
+        road = np.ones((RES, RES), bool)
+
+    if annotated:
+        tex[road & right] = ANNOT_RIGHT
+        tex[road & ~right] = ANNOT_LEFT
+        # lines keep their annotation color region (they belong to a lane)
+    else:
+        tex[white & road] = WHITE
+        tex[yellow & road] = YELLOW
+    return tex
+
+
+TILE_KINDS = ["asphalt", "grass", "floor", "straight", "curve_left",
+              "curve_right", "3way_left", "3way_right", "4way"]
+
+
+def build_atlas(seed: int = 0) -> tuple[np.ndarray, dict[str, int]]:
+    """(atlas[n_kinds*2, RES, RES, 3], kind->base index).
+
+    For kind k: atlas[2k] = base texture, atlas[2k+1] = annotated (cv).
+    The renderer picks base+variant; ccv == cv at tile level (the ccv
+    distinction in the reference covered obstacle meshes, handled by the
+    object annotation colors instead).
+    """
+    rng = np.random.default_rng(seed)
+    slots = []
+    index = {}
+    for k, kind in enumerate(TILE_KINDS):
+        index[kind] = 2 * k
+        rng_k = np.random.default_rng(seed * 1000 + k)
+        slots.append(make_tile_texture(kind, rng_k, annotated=False))
+        rng_k = np.random.default_rng(seed * 1000 + k)
+        slots.append(make_tile_texture(kind, rng_k, annotated=True))
+    return np.stack(slots), index
+
+
+def rotate_tex_index(orientation: str) -> int:
+    """Number of 90° CCW rotations to apply for a tile orientation."""
+    return {"N": 0, "W": 1, "S": 2, "E": 3}[orientation]

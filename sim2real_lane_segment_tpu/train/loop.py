@@ -1,0 +1,111 @@
+"""Fit/validate/test loop with best-checkpoint tracking.
+
+Mirrors the reference driver semantics (train.py:39-75): per-epoch
+validation on val_loss/acc/dice/iou, checkpoint the single best model on
+max ``val_iou``, run the test pass at the end, and save final weights.
+Checkpointing uses orbax; metrics go to stdout + an optional tensorboardX
+writer + a JSONL history file.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from ..ops.metrics import summarize_weighted
+from .checkpoint import save_checkpoint, save_weights
+
+log = logging.getLogger(__name__)
+
+
+class MetricLogger:
+    def __init__(self, out_dir: str, use_tensorboard: bool = True):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.history_path = os.path.join(out_dir, "metrics.jsonl")
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb = SummaryWriter(os.path.join(out_dir, "tb"))
+            except Exception:
+                self.tb = None
+
+    def log(self, step: int, scalars: dict):
+        scalars = {k: float(v) for k, v in scalars.items()}
+        with open(self.history_path, "a") as f:
+            f.write(json.dumps({"step": step, **scalars}) + "\n")
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, v, step)
+
+
+def run_eval(eval_step: Callable, state, batches: Iterable) -> dict:
+    outs = [jax.device_get(eval_step(state, x, y)) for x, y in batches]
+    if not outs:
+        return {"loss": 0.0, "acc": 0.0, "dice": 0.0, "iou": 0.0}
+    return summarize_weighted(outs)
+
+
+def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
+        model_name: str = "baseline", seed: int = 42,
+        train_step_fn: Callable | None = None,
+        log_every: int = 50) -> tuple:
+    """Train with per-epoch validation and best-val_iou checkpointing.
+
+    ``trainer`` is a SupervisedTrainer/MMETrainer; ``data`` a data module.
+    ``train_step_fn(state, batch, key, epoch) -> (state, logs)`` lets MME
+    reuse this loop; default is the supervised step.
+    Returns (best_state, best_iou, logger).
+    """
+    logger = MetricLogger(out_dir)
+    key = jax.random.key(seed)
+    best_iou, best_state = -1.0, state
+    global_step = 0
+
+    if train_step_fn is None:
+        def train_step_fn(state, batch, key, epoch):
+            images, labels = batch
+            lr = trainer.lr_at(epoch)
+            return trainer.train_step(state, images, labels, key, lr)
+
+    for epoch in range(max_epochs):
+        t0 = time.time()
+        n_steps = 0
+        for batch in data.train_batches(epoch):
+            key, k_step = jax.random.split(key)
+            state, logs = train_step_fn(state, batch, k_step, epoch)
+            n_steps += 1
+            global_step += 1
+            if global_step % log_every == 0:
+                logger.log(global_step, {f"train/{k}": v
+                                         for k, v in jax.device_get(logs).items()})
+
+        val = run_eval(trainer.eval_step, state, data.val_batches())
+        logger.log(global_step, {f"val/{k}": v for k, v in val.items()})
+        log.info("epoch %d: %d steps in %.1fs, val_iou=%.3f val_acc=%.2f",
+                 epoch, n_steps, time.time() - t0, val["iou"], val["acc"])
+
+        if val["iou"] > best_iou:
+            # host snapshot: train_step donates its input state, so keeping
+            # a device alias here would be invalidated next epoch
+            best_iou, best_state = val["iou"], jax.device_get(state)
+            save_checkpoint(os.path.join(out_dir, "checkpoints"),
+                            best_state, epoch,
+                            metrics={"val_iou": val["iou"]},
+                            hparams={"lr": trainer.lr, "decay": trainer.decay,
+                                     "lrRatio": trainer.lr_ratio,
+                                     "num_cls": trainer.num_cls})
+
+    test = run_eval(trainer.eval_step, best_state, data.test_batches())
+    logger.log(global_step, {f"test/{k}": v for k, v in test.items()})
+    log.info("test: %s", test)
+
+    # reference train.py:73-75 saves best_weights.pt alongside the ckpt
+    save_weights(os.path.join(out_dir, "best_weights.msgpack"), best_state)
+    return best_state, best_iou, logger

@@ -1,0 +1,64 @@
+"""Loss functions with reference-parity semantics.
+
+Covers the reference's supervised loss (SimpleTrain.py:16: torch
+``cross_entropy`` with inverse-frequency class weights from
+``getClassWeight``, TrainingBase.py:12-23) and the MME adversarial entropy
+(MMETrainingModule.py:10-11).
+
+Parity note (documented quirk, SURVEY.md §7): the reference's
+``forward`` applies the temperature-scaled **softmax** (tiramisu.py:120-125)
+and then feeds those *probabilities* to ``torch.nn.functional.cross_entropy``,
+which applies ``log_softmax`` again — an (intentional-looking) double
+softmax.  ``cross_entropy`` here therefore treats its input as logits
+exactly like torch does; callers pass the model's softmax output to get the
+reference's training dynamics, or raw logits for the mathematically clean
+variant.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def get_class_weight(targets: jax.Array, num_classes: int) -> jax.Array:
+    """Inverse-frequency class weights over this batch (TrainingBase.py:12-23).
+
+    torch.reciprocal of per-class pixel counts; absent classes get weight 0
+    here instead of inf — torch's inf is never touched because absent
+    classes index no pixels, so the losses are identical.
+    """
+    counts = jnp.bincount(targets.reshape(-1).astype(jnp.int32),
+                          length=num_classes).astype(jnp.float32)
+    return jnp.where(counts > 0, 1.0 / jnp.maximum(counts, 1.0), 0.0)
+
+
+def cross_entropy(outputs: jax.Array, targets: jax.Array,
+                  weight: jax.Array | None = None) -> jax.Array:
+    """torch.nn.functional.cross_entropy for (N, H, W, C) vs (N, H, W).
+
+    With ``weight``: loss = sum_i w[y_i]*nll_i / sum_i w[y_i] (torch's
+    weighted mean).  Without: plain mean.
+    """
+    logp = jax.nn.log_softmax(outputs.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    if weight is None:
+        return jnp.mean(nll)
+    w = weight[targets.astype(jnp.int32)]
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def weighted_cross_entropy(outputs: jax.Array, targets: jax.Array,
+                           num_classes: int) -> jax.Array:
+    """cross_entropy(outputs, y, weight=getClassWeight(y)) — SimpleTrain.py:16."""
+    return cross_entropy(outputs, targets, get_class_weight(targets, num_classes))
+
+
+def adentropy(probs: jax.Array, lamda: float = 1.0) -> jax.Array:
+    """MME adversarial entropy (MMETrainingModule.py:10-11).
+
+    ``lamda * mean over (N,H,W) of sum_c p*log(p + 1e-5)`` — the *negative*
+    entropy; minimized through grad_reverse it maximizes classifier entropy
+    on unlabelled target frames.
+    """
+    return lamda * jnp.mean(jnp.sum(probs * jnp.log(probs + 1e-5), axis=-1))

@@ -1,0 +1,140 @@
+"""MME semi-supervised domain adaptation — both optimizer phases in ONE
+jitted step.
+
+The reference (MMETrainingModule.py:14-38) let Lightning alternate two
+optimizers per batch:
+
+  phase G (optimizer_idx 0): SGD(momentum .9, nesterov, per-group lrs —
+    featureExtractor lr/3, classifier lr) on the adversarial entropy of the
+    *unlabelled* batch routed featureExtractor -> grad_reverse ->
+    classifier, λ=0.1;
+  phase F (optimizer_idx 1): AdamW on class-weighted CE of the *labelled*
+    batch, computed on the post-phase-G parameters.
+
+Both optimizers cover ALL parameters (an inheritance quirk the reference
+kept — MMETrainingModule.py:16-20); both LRs follow
+CosineAnnealingLR(T_max=25, eta_min=lr*1e-3) per epoch, where eta_min is
+absolute (the feature-extractor group anneals lr/3 -> lr*1e-3, so it is
+not a constant factor of the classifier lr — hence two separate scalars
+into the step).  Both phases run train-mode forwards, so BatchNorm stats
+update twice per batch, exactly like Lightning did.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.dtypes import DTypePolicy, DEFAULT_POLICY
+from ..models.tiramisu import FCDenseNet, fcdensenet67, grad_reverse
+from ..ops.augment import augment_batch, eval_batch
+from ..ops.metrics import evaluate_outputs
+from . import optim
+from .losses import adentropy, cross_entropy, weighted_cross_entropy
+from .schedules import cosine_annealing
+from .supervised import SupervisedTrainer, TrainState
+
+
+class MMETrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state_g: Any   # SGD (entropy max phase)
+    opt_state_f: Any   # AdamW (supervised phase)
+    lr_mask_fe: Any    # 1.0 on featureExtractor leaves, 0.0 elsewhere
+    epoch: int = struct.field(pytree_node=False, default=0)
+
+
+class MMETrainer(SupervisedTrainer):
+    def __init__(self, *, lamda: float = 0.1, **kw):
+        super().__init__(**kw)
+        self.lamda = lamda
+        self.tx_g = optim.sgd_nesterov(self.decay, momentum=0.9)
+        self.tx_f = optim.adamw(self.decay)
+
+    # -- state --------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> MMETrainState:
+        x = jnp.zeros((1, self.cfg.height, self.cfg.width, 3), jnp.float32)
+        variables = self.model.init(key, x)
+        params = variables["params"]
+        mask = optim.lr_factor_tree(
+            params, lambda path: 1.0 if "featureExtractor" in path[0] else 0.0)
+        return MMETrainState(params=params,
+                             batch_stats=variables.get("batch_stats", {}),
+                             opt_state_g=self.tx_g.init(params),
+                             opt_state_f=self.tx_f.init(params),
+                             lr_mask_fe=mask)
+
+    def from_pretrained(self, state: TrainState) -> MMETrainState:
+        """Start from baseline weights (reference train.py:58)."""
+        fresh = self.init_state(jax.random.key(0))
+        return fresh.replace(params=state.params, batch_stats=state.batch_stats)
+
+    def lrs_at(self, epoch: int) -> tuple[float, float, float]:
+        """(sgd lr for featureExtractor, sgd lr for classifier, adamw lr)."""
+        eta_min = self.lr * 1e-3
+        return (cosine_annealing(self.lr / 3, eta_min, 25, epoch),
+                cosine_annealing(self.lr, eta_min, 25, epoch),
+                cosine_annealing(self.lr, eta_min, 25, epoch))
+
+    # -- forward pieces -----------------------------------------------------
+
+    def _forward_adversarial(self, params, batch_stats, x, k_drop):
+        """featureExtractor -> grad_reverse -> classifier (train mode)."""
+        feats, mut = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            rngs={"dropout": k_drop}, mutable=["batch_stats"],
+            method=lambda m, x, train: m.featureExtractor(x, train=train))
+        feats = grad_reverse(feats)
+        probs = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, feats,
+            method=lambda m, f: m.classifier(f, use_softmax=True))
+        return probs, mut["batch_stats"]
+
+    # -- step ---------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def mme_train_step(self, state: MMETrainState,
+                       images_lab: jax.Array, labels: jax.Array,
+                       images_unl: jax.Array, key: jax.Array,
+                       lr_g_fe: jax.Array, lr_g_cls: jax.Array,
+                       lr_f: jax.Array):
+        k_aug_l, k_aug_u, k_drop_g, k_drop_f = jax.random.split(key, 4)
+        if self.augment:
+            x_lab, y = augment_batch(k_aug_l, images_lab, labels, self.cfg)
+            x_unl, _ = augment_batch(k_aug_u, images_unl, None, self.cfg,
+                                     with_labels=False)
+        else:
+            x_lab, y = eval_batch(images_lab, labels, self.cfg)
+            x_unl, _ = eval_batch(images_unl, None, self.cfg, with_labels=False)
+
+        # ---- phase G: entropy maximization on unlabelled (optimizer_idx 0)
+        def loss_g(params):
+            probs, new_bs = self._forward_adversarial(
+                params, state.batch_stats, x_unl, k_drop_g)
+            return adentropy(probs, self.lamda), new_bs
+
+        (loss0, bs1), grads0 = jax.value_and_grad(loss_g, has_aux=True)(state.params)
+        upd0, new_og = self.tx_g.update(grads0, state.opt_state_g, state.params)
+        lr_tree = jax.tree_util.tree_map(
+            lambda m: lr_g_fe * m + lr_g_cls * (1.0 - m), state.lr_mask_fe)
+        params1 = jax.tree_util.tree_map(
+            lambda p, u, l: p - l * u.astype(p.dtype), state.params, upd0, lr_tree)
+
+        # ---- phase F: weighted CE on labelled (optimizer_idx 1)
+        def loss_f(params):
+            out, mut = self.model.apply(
+                {"params": params, "batch_stats": bs1}, x_lab, train=True,
+                rngs={"dropout": k_drop_f}, mutable=["batch_stats"])
+            return weighted_cross_entropy(out, y, self.num_cls), mut["batch_stats"]
+
+        (loss1, bs2), grads1 = jax.value_and_grad(loss_f, has_aux=True)(params1)
+        upd1, new_of = self.tx_f.update(grads1, state.opt_state_f, params1)
+        params2 = optim.apply_updates(params1, upd1, lr_f)
+
+        logs = {"tr_loss_adent": loss0, "tr_loss": loss1}
+        return state.replace(params=params2, batch_stats=bs2,
+                             opt_state_g=new_og, opt_state_f=new_of), logs

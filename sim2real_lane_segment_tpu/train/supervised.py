@@ -1,0 +1,115 @@
+"""Supervised training (regimes 'sim' and 'st') as one jitted TPU step.
+
+Rebuilds the reference SimpleTrainModule (SimpleTrain.py:10-30) +
+TrainingBase shared eval (TrainingBase.py:26-110) as pure functions:
+augmentation, forward, class-weighted CE, AdamW update and BN-stat update
+all fuse into a single XLA program per batch.  AdamW lr follows torch
+CosineAnnealingLR(T_max=25, eta_min=lr/lrRatio) stepped per epoch
+(SimpleTrain.py:27-30).
+
+Data parallelism: the step is shape-polymorphic over the leading batch
+axis; run it under a Mesh with the batch sharded on the ``data`` axis and
+parameters replicated — XLA inserts the gradient psum over ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.dtypes import DTypePolicy, DEFAULT_POLICY
+from ..models.tiramisu import fcdensenet67
+from ..ops.augment import AugmentConfig, augment_batch, eval_batch
+from ..ops.metrics import accuracy, evaluate_outputs
+from . import optim
+from .losses import cross_entropy, weighted_cross_entropy
+from .schedules import cosine_annealing
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    epoch: int = struct.field(pytree_node=False, default=0)
+
+
+class SupervisedTrainer:
+    """Owns the model + optimizer and the jitted train/eval step fns."""
+
+    def __init__(self, *, num_cls: int = 4, lr: float = 1e-3,
+                 decay: float = 1e-4, lr_ratio: float = 1e3,
+                 height: int = 120, width: int = 160, gray: bool = False,
+                 augment: bool = True, policy: DTypePolicy = DEFAULT_POLICY,
+                 model=None):
+        self.num_cls = num_cls
+        self.lr = lr
+        self.decay = decay
+        self.lr_ratio = lr_ratio
+        self.augment = augment
+        self.cfg = AugmentConfig(height=height, width=width, gray=gray,
+                                 min_crop_height=height // 2,
+                                 max_crop_height=height * 4)
+        self.model = model if model is not None else fcdensenet67(num_cls, policy=policy)
+        self.tx = optim.adamw(decay)
+
+    # -- state --------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        x = jnp.zeros((1, self.cfg.height, self.cfg.width, 3), jnp.float32)
+        variables = self.model.init(key, x)
+        return TrainState(params=variables["params"],
+                          batch_stats=variables.get("batch_stats", {}),
+                          opt_state=self.tx.init(variables["params"]))
+
+    def lr_at(self, epoch: int) -> float:
+        return cosine_annealing(self.lr, self.lr / self.lr_ratio, 25, epoch)
+
+    # -- steps --------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, images: jax.Array,
+                   labels: jax.Array, key: jax.Array, lr: jax.Array):
+        k_aug, k_drop = jax.random.split(key)
+        if self.augment:
+            x, y = augment_batch(k_aug, images, labels, self.cfg)
+        else:
+            x, y = eval_batch(images, labels, self.cfg)
+
+        def loss_fn(params):
+            out, mut = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, rngs={"dropout": k_drop}, mutable=["batch_stats"])
+            loss = weighted_cross_entropy(out, y, self.num_cls)
+            return loss, (out, mut["batch_stats"])
+
+        (loss, (out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optim.apply_updates(state.params, updates, lr)
+
+        pred = jnp.argmax(out, axis=-1)
+        logs = {"tr_loss": loss, "tr_acc": accuracy(pred, y) * 100.0}
+        return state.replace(params=new_params, batch_stats=new_bs,
+                             opt_state=new_opt), logs
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, images: jax.Array, labels: jax.Array):
+        """evaluate_batch (TrainingBase.py:79-95): unweighted CE + metrics,
+        each pre-multiplied by batch size."""
+        x, y = eval_batch(images, labels, self.cfg)
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False)
+        loss = cross_entropy(out, y)
+        return evaluate_outputs(out, y, loss, self.num_cls)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def predict_step(self, state: TrainState, images: jax.Array):
+        """Inference: uint8 frames in, (N, H, W) uint8 class map out."""
+        x, _ = eval_batch(images, None, self.cfg, with_labels=False)
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False, use_softmax=False)
+        return jnp.argmax(out, axis=-1).astype(jnp.uint8)

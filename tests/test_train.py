@@ -1,0 +1,213 @@
+"""Training-layer tests: losses, supervised step learns, MME step updates,
+full fit loop with checkpointing on synthetic data (tiny model, CPU)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sim2real_lane_segment_tpu.train import losses
+from sim2real_lane_segment_tpu.train.mme import MMETrainer
+from sim2real_lane_segment_tpu.train.supervised import SupervisedTrainer
+
+from helpers import make_sim_tree, make_simreal_tree, tiny_model
+
+torch = pytest.importorskip("torch")
+
+H, W = 24, 32
+
+
+def small_trainer(**kw):
+    defaults = dict(num_cls=4, height=H, width=W, augment=False,
+                    model=tiny_model())
+    defaults.update(kw)
+    return SupervisedTrainer(**defaults)
+
+
+# ---------------------------------------------------------------------------
+# losses vs torch
+# ---------------------------------------------------------------------------
+
+def test_class_weight_matches_reference_semantics(rng):
+    y = rng.integers(0, 3, (2, 8, 8))  # class 3 absent
+    w = np.asarray(losses.get_class_weight(jnp.asarray(y), 4))
+    counts = np.bincount(y.reshape(-1), minlength=4)
+    for c in range(3):
+        np.testing.assert_allclose(w[c], 1.0 / counts[c], rtol=1e-6)
+    assert w[3] == 0.0  # torch had inf; never used — see losses.py
+
+
+def test_cross_entropy_matches_torch(rng):
+    out = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    y = rng.integers(0, 4, (2, 8, 8))
+    got = float(losses.cross_entropy(jnp.asarray(out), jnp.asarray(y)))
+    t = torch.nn.functional.cross_entropy(
+        torch.tensor(out).permute(0, 3, 1, 2), torch.tensor(y))
+    np.testing.assert_allclose(got, float(t), rtol=1e-5)
+
+
+def test_weighted_cross_entropy_matches_torch(rng):
+    out = rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    y = rng.integers(0, 4, (2, 8, 8))
+    got = float(losses.weighted_cross_entropy(jnp.asarray(out), jnp.asarray(y), 4))
+    counts = torch.bincount(torch.tensor(y).reshape(-1), minlength=4).float()
+    w = torch.reciprocal(counts)
+    t = torch.nn.functional.cross_entropy(
+        torch.tensor(out).permute(0, 3, 1, 2), torch.tensor(y), weight=w)
+    np.testing.assert_allclose(got, float(t), rtol=1e-5)
+
+
+def test_adentropy_matches_torch(rng):
+    p = rng.random((2, 8, 8, 4)).astype(np.float32)
+    p = p / p.sum(-1, keepdims=True)
+    got = float(losses.adentropy(jnp.asarray(p), 0.1))
+    tp = torch.tensor(p).permute(0, 3, 1, 2)
+    want = 0.1 * torch.mean(torch.sum(tp * torch.log(tp + 1e-5), 1))
+    np.testing.assert_allclose(got, float(want), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# steps
+# ---------------------------------------------------------------------------
+
+def synthetic_batch(rng, n=4):
+    img = rng.integers(0, 80, (n, H, W, 3), dtype=np.uint8)
+    img[:, :, W // 2:, 1] += 120
+    y = np.zeros((n, H, W), np.uint8)
+    y[:, :, W // 2:] = 1
+    return img, y
+
+
+def test_supervised_step_learns(rng):
+    tr = small_trainer()
+    state = tr.init_state(jax.random.key(0))
+    img, y = synthetic_batch(rng)
+    key = jax.random.key(1)
+    first_loss = last_loss = None
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, logs = tr.train_step(state, img, y, k, tr.lr_at(0))
+        if first_loss is None:
+            first_loss = float(logs["tr_loss"])
+        last_loss = float(logs["tr_loss"])
+    assert last_loss < first_loss * 0.7, (first_loss, last_loss)
+    # eval metrics after training should beat chance
+    out = tr.eval_step(state, img, y)
+    acc = float(out["acc"]) / float(out["weight"])
+    assert acc > 0.8
+
+
+def test_eval_step_weighting(rng):
+    tr = small_trainer()
+    state = tr.init_state(jax.random.key(0))
+    img, y = synthetic_batch(rng, n=3)
+    out = tr.eval_step(state, img, y)
+    assert float(out["weight"]) == 3.0
+
+
+def test_predict_step_shapes(rng):
+    tr = small_trainer()
+    state = tr.init_state(jax.random.key(0))
+    img, _ = synthetic_batch(rng, n=2)
+    pred = np.asarray(tr.predict_step(state, img))
+    assert pred.shape == (2, H, W) and pred.dtype == np.uint8
+    assert set(np.unique(pred)) <= {0, 1, 2, 3}
+
+
+def test_mme_step_runs_and_updates(rng):
+    tr = MMETrainer(num_cls=4, height=H, width=W, augment=False,
+                    model=tiny_model())
+    state = tr.init_state(jax.random.key(0))
+    img, y = synthetic_batch(rng)
+    img_u, _ = synthetic_batch(rng)
+    p_before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    lr_g_fe, lr_g_cls, lr_f = tr.lrs_at(0)
+    state, logs = tr.mme_train_step(state, img, y, img_u, jax.random.key(1),
+                                    lr_g_fe, lr_g_cls, lr_f)
+    p_after = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p_before), np.asarray(p_after))
+    assert np.isfinite(float(logs["tr_loss"]))
+    assert np.isfinite(float(logs["tr_loss_adent"]))
+
+
+def test_mme_lr_groups():
+    tr = MMETrainer(num_cls=4, height=H, width=W, model=tiny_model())
+    lr_fe, lr_cls, lr_f = tr.lrs_at(0)
+    assert lr_fe == pytest.approx(tr.lr / 3)
+    assert lr_cls == pytest.approx(tr.lr)
+    # at T_max both groups reach the same absolute eta_min
+    lr_fe25, lr_cls25, _ = tr.lrs_at(25)
+    assert lr_fe25 == pytest.approx(tr.lr * 1e-3)
+    assert lr_cls25 == pytest.approx(tr.lr * 1e-3)
+
+
+def test_grad_reverse_direction(rng):
+    """Phase G must push featureExtractor and classifier in *opposing*
+    directions on the entropy objective (the MME minimax)."""
+    tr = MMETrainer(num_cls=4, height=H, width=W, augment=False,
+                    model=tiny_model())
+    state = tr.init_state(jax.random.key(0))
+    img_u, _ = synthetic_batch(rng)
+    from sim2real_lane_segment_tpu.ops.augment import eval_batch
+    x, _ = eval_batch(img_u, None, tr.cfg, with_labels=False)
+
+    def loss_rev(params):
+        probs, _ = tr._forward_adversarial(params, state.batch_stats, x,
+                                           jax.random.key(0))
+        return losses.adentropy(probs, 0.1)
+
+    def loss_norev(params):
+        feats, _ = tr.model.apply(
+            {"params": params, "batch_stats": state.batch_stats}, x,
+            train=True, rngs={"dropout": jax.random.key(0)},
+            mutable=["batch_stats"],
+            method=lambda m, x, train: m.featureExtractor(x, train=train))
+        probs = tr.model.apply(
+            {"params": params, "batch_stats": state.batch_stats}, feats,
+            method=lambda m, f: m.classifier(f, use_softmax=True))
+        return losses.adentropy(probs, 0.1)
+
+    g_rev = jax.grad(loss_rev)(state.params)
+    g_nor = jax.grad(loss_norev)(state.params)
+    # classifier grads identical; featureExtractor grads negated
+    cls_r = jax.tree_util.tree_leaves(g_rev["classifier"])
+    cls_n = jax.tree_util.tree_leaves(g_nor["classifier"])
+    for a, b in zip(cls_r, cls_n):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    fe_r = jax.tree_util.tree_leaves(g_rev["featureExtractor"])
+    fe_n = jax.tree_util.tree_leaves(g_nor["featureExtractor"])
+    for a, b in zip(fe_r, fe_n):
+        np.testing.assert_allclose(np.asarray(a), -np.asarray(b), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fit loop
+# ---------------------------------------------------------------------------
+
+def test_fit_loop_end_to_end(tmp_path, rng):
+    from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
+    from sim2real_lane_segment_tpu.train.loop import fit
+    from sim2real_lane_segment_tpu.train import checkpoint as ckpt
+
+    root = make_sim_tree(tmp_path, rng)
+    dm = SimulatorDataModule(data_path=root, batch_size=4)
+    dm.setup()
+    tr = small_trainer()
+    state = tr.init_state(jax.random.key(0))
+    out_dir = str(tmp_path / "results")
+    best_state, best_iou, _ = fit(tr, state, dm, max_epochs=2,
+                                  out_dir=out_dir, log_every=1)
+    assert best_iou >= 0
+    assert os.path.exists(os.path.join(out_dir, "checkpoints", "best.msgpack"))
+    assert os.path.exists(os.path.join(out_dir, "best_weights.msgpack"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+
+    # round-trip the checkpoint
+    fresh = tr.init_state(jax.random.key(7))
+    restored, meta = ckpt.load_checkpoint(os.path.join(out_dir, "checkpoints"), fresh)
+    a = jax.tree_util.tree_leaves(best_state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert "val_iou" in meta["metrics"]

@@ -1,0 +1,125 @@
+"""Transform-op tests: cv2-matching resize, HSV round-trips, augmentation
+pipeline shapes/determinism/label-alignment."""
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sim2real_lane_segment_tpu.ops import augment as A
+from sim2real_lane_segment_tpu.ops import colorspace as C
+from sim2real_lane_segment_tpu.ops import resize as R
+
+
+def test_resize_bilinear_matches_cv2(rng):
+    img = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    got = np.asarray(R.resize_bilinear(img, 120, 160))
+    want = cv2.resize(img, (160, 120), interpolation=cv2.INTER_LINEAR).astype(np.float32)
+    # float vs cv2's fixed-point arithmetic: allow ~1 intensity level
+    assert np.abs(got - want).max() <= 1.0
+
+
+def test_resize_nearest_matches_cv2(rng):
+    label = rng.integers(0, 4, (480, 640), dtype=np.uint8)
+    got = np.asarray(R.resize_nearest_label(label, 120, 160))
+    want = cv2.resize(label, (160, 120), interpolation=cv2.INTER_NEAREST)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_normalize_round_trip(rng):
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.float32)
+    x = R.normalize(img)
+    back = np.asarray(R.denormalize(x))
+    np.testing.assert_allclose(back, img, atol=1e-3)
+
+
+def test_hsv_round_trip(rng):
+    img = rng.integers(0, 256, (30, 30, 3)).astype(np.float32)
+    hsv = C.rgb_to_hsv_cv(img)
+    back = np.asarray(C.hsv_to_rgb_cv(hsv))
+    np.testing.assert_allclose(back, img, atol=0.5)
+
+
+def test_hsv_matches_cv2(rng):
+    img = rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)
+    got = np.asarray(C.rgb_to_hsv_cv(img.astype(np.float32)))
+    want = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+    # cv2 uint8 HSV quantizes H/S; allow 1-2 quantization steps.
+    # Hue is circular (179.9 == 0.1): compare with wrap-around distance.
+    dh = np.abs(got[..., 0] - want[..., 0])
+    dh = np.minimum(dh, 180.0 - dh)
+    assert dh.max() <= 1.5
+    assert np.abs(got[..., 1] - want[..., 1]).max() <= 1.5
+    np.testing.assert_allclose(got[..., 2], want[..., 2], atol=0.5)
+
+
+def test_shift_hsv_zero_is_identity(rng):
+    img = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    out = np.asarray(C.shift_hsv(img, 0.0, 0.0, 0.0))
+    np.testing.assert_allclose(out, img.astype(np.float32), atol=0.5)
+
+
+CFG = A.AugmentConfig()
+
+
+def test_eval_batch_shapes(rng):
+    imgs = rng.integers(0, 256, (4, 480, 640, 3), dtype=np.uint8)
+    labels = rng.integers(0, 4, (4, 480, 640), dtype=np.uint8)
+    x, y = A.eval_batch(imgs, labels, CFG)
+    assert x.shape == (4, 120, 160, 3) and x.dtype == jnp.float32
+    assert y.shape == (4, 120, 160) and y.dtype == jnp.int32
+
+
+def test_eval_batch_unlabelled(rng):
+    imgs = rng.integers(0, 256, (2, 480, 640, 3), dtype=np.uint8)
+    x, y = A.eval_batch(imgs, None, CFG, with_labels=False)
+    assert x.shape == (2, 120, 160, 3) and y is None
+
+
+def test_augment_batch_shapes_and_determinism(rng):
+    imgs = rng.integers(0, 256, (4, 480, 640, 3), dtype=np.uint8)
+    labels = rng.integers(0, 4, (4, 480, 640), dtype=np.uint8)
+    key = jax.random.key(7)
+    x1, y1 = A.augment_batch(key, imgs, labels, CFG)
+    x2, y2 = A.augment_batch(key, imgs, labels, CFG)
+    assert x1.shape == (4, 120, 160, 3) and y1.shape == (4, 120, 160)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    x3, _ = A.augment_batch(jax.random.key(8), imgs, labels, CFG)
+    assert np.abs(np.asarray(x1) - np.asarray(x3)).max() > 0.01
+
+
+def test_augment_label_alignment(rng):
+    """A label tied to an image structure must land on the same crop."""
+    img = np.zeros((1, 480, 640, 3), np.uint8)
+    img[0, :, 320:, :] = 255            # right half bright
+    label = np.zeros((1, 480, 640), np.uint8)
+    label[0, :, 320:] = 1               # right half class 1
+    for seed in range(5):
+        x, y = A.augment_batch(jax.random.key(seed), img, label, CFG)
+        x = np.asarray(R.denormalize(x[0]))
+        y = np.asarray(y[0])
+        bright = x.mean(-1) > 128
+        agree = (bright == (y == 1)).mean()
+        assert agree > 0.95, f"seed {seed}: crop misaligned ({agree:.2%})"
+
+
+def test_augment_label_values_preserved(rng):
+    imgs = rng.integers(0, 256, (2, 480, 640, 3), dtype=np.uint8)
+    labels = rng.integers(0, 4, (2, 480, 640), dtype=np.uint8)
+    _, y = A.augment_batch(jax.random.key(0), imgs, labels, CFG)
+    got = set(np.unique(np.asarray(y)))
+    assert got <= {0, 1, 2, 3}  # nearest interp must never invent classes
+
+
+def test_gray_config(rng):
+    imgs = rng.integers(0, 256, (2, 480, 640, 3), dtype=np.uint8)
+    cfg = A.AugmentConfig(gray=True)
+    x, _ = A.eval_batch(imgs, None, cfg, with_labels=False)
+    x = np.asarray(R.denormalize(x))
+    # all three channels identical after gray
+    np.testing.assert_allclose(x[..., 0], x[..., 1], atol=1e-3)
+
+
+def test_motion_blur_bank_normalized():
+    bank = np.asarray(A.MOTION_BLUR_BANK)
+    np.testing.assert_allclose(bank.sum(axis=(1, 2)), 1.0, rtol=1e-5)
