@@ -1,0 +1,25 @@
+# sim2real_lane_segment_tpu — convenience targets
+# (reference shipped a Makefile for its docker images; here the targets
+# cover the native dev loop. CPU env vars: see tests/conftest.py docs.)
+
+CPU_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+
+.PHONY: test test-fast bench dryrun lint
+
+test:
+	$(CPU_ENV) python -m pytest tests/ -x -q
+
+test-fast:
+	$(CPU_ENV) python -m pytest tests/ -x -q -m "not slow" \
+	    --ignore=tests/test_train.py
+
+bench:
+	python bench.py
+
+dryrun:
+	$(CPU_ENV) XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	    python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	               import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+
+sim-bench:
+	python -m sim2real_lane_segment_tpu.cli.sim_benchmark

@@ -4,20 +4,19 @@ The reduce_window formulation (ops/labelgen.py) materializes ~12
 intermediate HBM masks per frame (3 classes x open/close x erode/dilate).
 This kernel fuses the whole of ``process_classes`` — int16 diff,
 channel-sign rules, 5x5 OPEN then CLOSE per class, priority overwrite —
-into ONE pass: each grid step reads a row-block of the two frames from
-HBM, runs every morphology stage in VMEM using *separable* 5x1/1x5
-min/max shifts (a rect structuring element is separable), and writes the
-final uint8 mask.  HBM traffic drops to the information-theoretic
-minimum: 6 bytes read + 1 byte written per pixel.
+into ONE pass per frame: the grid runs over the batch, each step loads
+one frame pair into VMEM, runs every morphology stage there using
+*separable* 5x1/1x5 min/max shift chains (a rect structuring element is
+separable), and writes the final uint8 mask.  HBM traffic drops to the
+information-theoretic minimum: 6 bytes read + 1 byte written per pixel.
 
-Bit-exactness: the separable shift formulation uses the same border
-semantics as cv2 (erosion pads with 1s, dilation with 0s — see
-ops/morphology.py) and is gated against the cv2 golden in
-tests/test_labelgen_pallas.py.
+VMEM budget at 480x640: 2 x 0.9 MB uint8 inputs + a handful of f32
+(H, W) mask buffers ≈ 6 MB — comfortably inside the ~16 MB/core VMEM.
 
-Row blocks overlap by an 8-row halo (4 chained 5-tap stages x 2 rows
-each); halo reads are clamped at the frame edges and the out-of-frame
-rows are neutralized per-stage with the pad value of that stage.
+Bit-exactness: the shift chains use cv2's border semantics (erosion pads
+with 1s, dilation with 0s — see ops/morphology.py); gated against the
+golden path in tests/test_labelgen_pallas.py (interpret mode on CPU,
+compiled on TPU).
 """
 from __future__ import annotations
 
@@ -28,130 +27,95 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HALO = 8          # 4 stages x 2 rows of support each side
-BLOCK_H = 112     # output rows per grid step (BLOCK_H + 2*HALO read)
 
+def _pad_shift_reduce(m, axis: int, op, pad_val: float):
+    """5-tap min/max along ``axis`` with constant padding.
 
-def _shift_min_axis0(m, rows_valid):
-    """5-tap erosion along axis 0 on a float mask block; out-of-block rows
-    act as 1.0 (erosion identity)."""
-    ones = jnp.ones_like(m[:1])
-    padded = jnp.concatenate([ones, ones, m, ones, ones], axis=0)
+    Mosaic has no sublane-axis concatenate and rejects big i1 vectors, so
+    shifting is a circular ``pltpu.roll`` with the wrapped rows/cols
+    neutralized by arithmetic (f32 iota) masks.
+    """
+    n = m.shape[axis]
+    ids = jax.lax.broadcasted_iota(jnp.int32, m.shape, axis).astype(jnp.float32)
     out = m
-    for k in range(5):
-        if k == 2:
-            continue
-        out = jnp.minimum(out, padded[k:k + m.shape[0]])
+    for k in (-2, -1, 1, 2):
+        # pltpu.roll requires a non-negative shift; negative k rolls by n+k
+        r = pltpu.roll(m, shift=(k % n), axis=axis)
+        # rolled element at index i came from i-k; invalid when i-k is
+        # outside [0, n). valid = (ids >= k) * (ids < n + k) as 0/1 floats.
+        lo = jnp.clip(jnp.sign(ids - (k - 0.5)), 0.0, 1.0)
+        hi = jnp.clip(jnp.sign((n + k - 0.5) - ids), 0.0, 1.0)
+        valid = lo * hi
+        r = r * valid + pad_val * (1.0 - valid)
+        out = op(out, r)
     return out
 
 
-def _shift_max_axis0(m):
-    zeros = jnp.zeros_like(m[:1])
-    padded = jnp.concatenate([zeros, zeros, m, zeros, zeros], axis=0)
-    out = m
-    for k in range(5):
-        if k == 2:
-            continue
-        out = jnp.maximum(out, padded[k:k + m.shape[0]])
-    return out
+def _erode(m):
+    m = _pad_shift_reduce(m, 0, jnp.minimum, 1.0)
+    return _pad_shift_reduce(m, 1, jnp.minimum, 1.0)
 
 
-def _shift_min_axis1(m):
-    ones = jnp.ones_like(m[:, :1])
-    padded = jnp.concatenate([ones, ones, m, ones, ones], axis=1)
-    out = m
-    for k in range(5):
-        if k == 2:
-            continue
-        out = jnp.minimum(out, padded[:, k:k + m.shape[1]])
-    return out
+def _dilate(m):
+    m = _pad_shift_reduce(m, 0, jnp.maximum, 0.0)
+    return _pad_shift_reduce(m, 1, jnp.maximum, 0.0)
 
 
-def _shift_max_axis1(m):
-    zeros = jnp.zeros_like(m[:, :1])
-    padded = jnp.concatenate([zeros, zeros, m, zeros, zeros], axis=1)
-    out = m
-    for k in range(5):
-        if k == 2:
-            continue
-        out = jnp.maximum(out, padded[:, k:k + m.shape[1]])
-    return out
-
-
-def _erode(m, row_ids, height):
-    # rows outside the real frame must act as 1s for erosion; the halo
-    # rows clamped at the frame edge replicate edge rows, so overwrite
-    # them with 1s via the row-id mask first.
-    in_frame = ((row_ids >= 0) & (row_ids < height))[:, None]
-    m = jnp.where(in_frame, m, 1.0)
-    return _shift_min_axis1(_shift_min_axis0(m, None))
-
-
-def _dilate(m, row_ids, height):
-    in_frame = ((row_ids >= 0) & (row_ids < height))[:, None]
-    m = jnp.where(in_frame, m, 0.0)
-    return _shift_max_axis1(_shift_max_axis0(m))
-
-
-def _kernel(orig_ref, annot_ref, out_ref, *, height: int, channel_order: str):
-    i = pl.program_id(0)
-    # rows covered by this block in frame coordinates (block start - HALO)
-    base = i * BLOCK_H - HALO
-    n_rows = orig_ref.shape[0]
-    row_ids = base + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)[:, 0]
-
-    diff = annot_ref[...].astype(jnp.int16) - orig_ref[...].astype(jnp.int16)
+def _kernel(orig_ref, annot_ref, out_ref, *, channel_order: str):
+    # All mask math is pure f32 arithmetic (sign/clip/min/max): Mosaic
+    # rejects relayouts of large i1 vectors, so no boolean tensors appear.
+    # diff of uint8 values is exactly representable in f32 ([-255, 255]).
+    # (u8 -> i32 -> f32: Mosaic has no direct u8 -> f32 cast.)
+    to_f32 = lambda x: x.astype(jnp.int32).astype(jnp.float32)
+    diff = to_f32(annot_ref[0]) - to_f32(orig_ref[0])
     if channel_order == "bgr":
         b, g, r = diff[..., 0], diff[..., 1], diff[..., 2]
     else:
         r, g, b = diff[..., 0], diff[..., 1], diff[..., 2]
 
-    left = (b > 0).astype(jnp.float32)
-    right = (g > 0).astype(jnp.float32)
-    obstacle = ((r > 0) | ((r >= 0) & ((b < 0) | (g < 0)))).astype(jnp.float32)
+    pos = lambda x: jnp.clip(jnp.sign(x), 0.0, 1.0)          # x > 0
+    neg = lambda x: jnp.clip(-jnp.sign(x), 0.0, 1.0)         # x < 0
+    nonneg = lambda x: jnp.clip(jnp.sign(x) + 1.0, 0.0, 1.0)  # x >= 0
+
+    left = pos(b)
+    right = pos(g)
+    # (r > 0) | ((r >= 0) & ((b < 0) | (g < 0)))
+    obstacle = jnp.maximum(pos(r),
+                           jnp.minimum(nonneg(r), jnp.maximum(neg(b), neg(g))))
 
     outs = []
     for mask in (right, left, obstacle):
-        m = _dilate(_erode(mask, row_ids, height), row_ids, height)   # OPEN
-        m = _erode(_dilate(m, row_ids, height), row_ids, height)      # CLOSE
+        m = _dilate(_erode(mask))   # OPEN
+        m = _erode(_dilate(m))      # CLOSE
         outs.append(m)
     right, left, obstacle = outs
 
-    lab = jnp.zeros_like(right, jnp.uint8)
-    lab = jnp.where(right > 0.5, jnp.uint8(1), lab)
-    lab = jnp.where(left > 0.5, jnp.uint8(2), lab)
-    lab = jnp.where(obstacle > 0.5, jnp.uint8(3), lab)
+    # priority overwrite right=1 -> left=2 -> obstacle=3, in f32
+    lab = right
+    lab = lab * (1.0 - left) + 2.0 * left
+    lab = lab * (1.0 - obstacle) + 3.0 * obstacle
+    out_ref[0] = lab
 
-    out_ref[...] = lab[HALO:HALO + BLOCK_H]
 
-
-@functools.partial(jax.jit, static_argnames=("channel_order",))
+@functools.partial(jax.jit, static_argnames=("channel_order", "interpret"))
 def process_classes_fused(img_orig: jax.Array, img_annot: jax.Array,
-                          channel_order: str = "bgr") -> jax.Array:
+                          channel_order: str = "bgr",
+                          interpret: bool = False) -> jax.Array:
     """Fused-pallas process_classes for (N, H, W, 3) uint8 batches."""
     n, h, w, _ = img_orig.shape
-    grid_h = pl.cdiv(h, BLOCK_H)
-
-    def in_map(b, i):
-        # overlapping blocks with halo; pallas clamps block starts so the
-        # kernel re-derives true row ids from program_id instead
-        return (b, i * BLOCK_H - HALO, 0, 0)
-
-    kernel = functools.partial(_kernel, height=h, channel_order=channel_order)
+    kernel = functools.partial(_kernel, channel_order=channel_order)
     out = pl.pallas_call(
         kernel,
-        grid=(grid_h, n),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, BLOCK_H + 2 * HALO, w, 3),
-                         lambda i, b: (b, i * BLOCK_H - HALO, 0, 0),
+            pl.BlockSpec((1, h, w, 3), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_H + 2 * HALO, w, 3),
-                         lambda i, b: (b, i * BLOCK_H - HALO, 0, 0),
+            pl.BlockSpec((1, h, w, 3), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_H, w),
-                               lambda i, b: (b, i * BLOCK_H, 0),
+        out_specs=pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        interpret=interpret,
     )(img_orig, img_annot)
-    return out
+    return out.astype(jnp.uint8)
