@@ -185,7 +185,10 @@ def augment_batch(key: jax.Array, images: jax.Array, labels: jax.Array | None,
 def eval_batch(images: jax.Array, labels: jax.Array | None,
                cfg: AugmentConfig = AugmentConfig(), with_labels: bool = True):
     """Eval-time transform: Resize -> [ToGray] -> Normalize (+ label resize)."""
-    x = resize_bilinear(images, cfg.height, cfg.width)
+    if images.shape[-3:-1] == (cfg.height, cfg.width):
+        x = images.astype(jnp.float32)  # already target size: skip resample
+    else:
+        x = resize_bilinear(images, cfg.height, cfg.width)
     if cfg.gray:
         x = to_gray(x, cfg.channel_order)
     x = normalize(x)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import lanes, physics, render
+from . import collision, lanes, physics, render
 from .maps import Map, builtin_map
 
 MAX_SPAWN_ATTEMPTS = 5000
@@ -83,7 +83,10 @@ class Simulator:
 
     def _valid_pose(self, pos, angle) -> bool:
         lp = self._lane_pos(pos, angle)
-        return bool(lp.in_lane) and abs(float(lp.dist)) < 0.5
+        if not (bool(lp.in_lane) and abs(float(lp.dist)) < 0.5):
+            return False
+        return not bool(collision.collides_with_objects(
+            jnp.asarray(pos), jnp.asarray(angle), self.scene.objects))
 
     # -- gym API ------------------------------------------------------------
 
@@ -137,11 +140,16 @@ class Simulator:
         self.cur_angle = float(new.angle)
 
     def compute_reward(self) -> float:
+        """reference compute_reward (simulator.py:1339-1356):
+        speed*dot_dir - 10|dist| + 40*col_penalty; NotInLane -> 40*col."""
+        col = float(collision.proximity_penalty(
+            jnp.asarray(self.cur_pos), jnp.asarray(self.cur_angle),
+            self.scene.objects))
         lp = self._lane_pos(self.cur_pos, self.cur_angle)
         if not bool(lp.in_lane):
-            return 0.0
+            return 40.0 * col
         return float(1.0 * self.speed * float(lp.dot_dir)
-                     - 10.0 * abs(float(lp.dist)))
+                     - 10.0 * abs(float(lp.dist)) + 40.0 * col)
 
     def step(self, action):
         action = np.clip(np.asarray(action, np.float32), -1, 1)

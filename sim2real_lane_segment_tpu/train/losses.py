@@ -54,6 +54,28 @@ def weighted_cross_entropy(outputs: jax.Array, targets: jax.Array,
     return cross_entropy(outputs, targets, get_class_weight(targets, num_classes))
 
 
+def iou_loss_thresholded(outputs: jax.Array, labels: jax.Array,
+                         smooth: float = 1e-6) -> jax.Array:
+    """Spare thresholded-IoU metric (reference utils/losses.py:5-22,
+    unused there too — kept for capability parity). Binary masks
+    (N, H, W) -> mean of ceil-thresholded IoU scores."""
+    outputs = outputs.astype(bool)
+    labels = labels.astype(bool)
+    inter = jnp.sum(outputs & labels, axis=(1, 2)).astype(jnp.float32)
+    union = jnp.sum(outputs | labels, axis=(1, 2)).astype(jnp.float32)
+    iou = (inter + smooth) / (union + smooth)
+    return jnp.mean(jnp.ceil(jnp.clip(20 * (iou - 0.5), 0, 10)) / 10)
+
+
+def dice_loss(pred: jax.Array, target: jax.Array,
+              smooth: float = 1.0) -> jax.Array:
+    """Spare differentiable dice loss (reference utils/losses.py:25-41)."""
+    p = pred.reshape(-1)
+    t = target.reshape(-1)
+    inter = jnp.sum(p * t)
+    return 1.0 - (2.0 * inter + smooth) / (jnp.sum(t * p) + jnp.sum(t * t) + smooth)
+
+
 def adentropy(probs: jax.Array, lamda: float = 1.0) -> jax.Array:
     """MME adversarial entropy (MMETrainingModule.py:10-11).
 
