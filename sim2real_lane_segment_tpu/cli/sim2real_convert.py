@@ -32,6 +32,8 @@ def main(args=None) -> int:
     p.add_argument("--overwriteData", action="store_true", help="Currently unused.")
     p.add_argument("--modelWeightsPath", type=str, required=True)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_residual_blocks", type=int, default=9,
+                   help="reference GeneratorResNet used 9 (sim2real_convert.py:90)")
     args = p.parse_args(args)
     common.setup_runtime()
 
@@ -41,7 +43,7 @@ def main(args=None) -> int:
 
     from ..models.cyclegan import GeneratorResNet
 
-    model = GeneratorResNet(num_residual_blocks=9)
+    model = GeneratorResNet(num_residual_blocks=args.num_residual_blocks)
 
     x0 = jnp.zeros((1, 120, 160, 3), jnp.float32)
     variables = model.init(jax.random.key(0), x0)

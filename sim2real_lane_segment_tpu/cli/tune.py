@@ -42,16 +42,20 @@ def sample_config(rng: np.random.Generator) -> dict:
 
 def run_trial(config: dict, data, *, num_cls: int, epochs_from: int,
               epochs_to: int, out_dir: str, seed: int,
-              augment: bool, state=None):
+              augment: bool, state=None, arch: str = "67",
+              height: int = 120, width: int = 160):
     """(Re)run one MME trial from epoch ``epochs_from`` to ``epochs_to``."""
     import jax
 
     from ..train.loop import MetricLogger, run_eval
     from ..train.mme import MMETrainer
+    from .test import build_model
 
     trainer = MMETrainer(num_cls=num_cls, lr=10 ** config["log_lr"],
                          lr_ratio=10 ** config["log_lrRatio"],
-                         decay=10 ** config["log_decay"], augment=augment)
+                         decay=10 ** config["log_decay"], augment=augment,
+                         model=build_model(arch, num_cls),
+                         height=height, width=width)
     if state is None:
         state = trainer.init_state(jax.random.key(seed))
 
@@ -82,6 +86,7 @@ def main(args=None) -> dict:
     p.add_argument("--grace_period", type=int, default=25)
     p.add_argument("--reduction_factor", type=int, default=4)
     p.add_argument("--num_cls", type=int, default=4)
+    p.add_argument("--arch", choices=["67", "57", "103", "tiny"], default="67")
     p.add_argument("--out_dir", type=str, default="tune_minimax_segmenter")
     common.add_data_args(p)
     common.add_model_args(p)
@@ -118,7 +123,8 @@ def main(args=None) -> dict:
             t["state"], best = run_trial(
                 t["config"], data, num_cls=args.num_cls,
                 epochs_from=t["epoch"], epochs_to=rung, out_dir=tdir,
-                seed=seed + t["id"], augment=True, state=t["state"])
+                seed=seed + t["id"], augment=True, state=t["state"],
+                arch=args.arch, height=args.height, width=args.width)
             t["epoch"] = rung
             t["best_iou"] = max(t["best_iou"], best)
             log.info("trial %d @%d epochs: best mean_iou %.3f",

@@ -94,11 +94,19 @@ class RightLaneDataset:
         with cf.ThreadPoolExecutor(num_threads) as ex:
             self._cache = list(ex.map(self._read, range(len(self))))
 
-    def read_batch(self, indices: Sequence[int]):
-        """Gather indices into stacked uint8 arrays (N,H,W,3) / (N,H,W)."""
+    def read_batch(self, indices: Sequence[int], size: tuple[int, int] | None = None):
+        """Gather indices into stacked uint8 arrays (N,H,W,3) / (N,H,W).
+
+        ``size`` (h, w): optional canonical size — images that differ are
+        host-resized (bilinear; labels nearest) so mixed-resolution
+        datasets batch cleanly (the reference handled this via per-image
+        transforms; e.g. CycleGAN-converted sources come back 480x640
+        while targets may be stored smaller).
+        """
         xs, ys = [], []
         for i in indices:
             x, y = self[int(i)]
+            x, y = _maybe_resize(x, y, size)
             xs.append(x)
             ys.append(y)
         x = np.stack(xs)
@@ -111,3 +119,13 @@ class RightLaneDataset:
             return None
         x, _ = self[0]
         return x.shape
+
+
+def _maybe_resize(x, y, size: tuple[int, int] | None):
+    if size is None or x.shape[:2] == size:
+        return x, y
+    h, w = size
+    x = cv2.resize(x, (w, h), interpolation=cv2.INTER_LINEAR)
+    if y is not None and y.shape[:2] != size:
+        y = cv2.resize(y, (w, h), interpolation=cv2.INTER_NEAREST)
+    return x, y

@@ -40,6 +40,15 @@ class BaseDataModule:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.datasets: dict[str, RightLaneDataset] = {}
+        # canonical (h, w) all host reads are normalized to; set at setup()
+        # from the primary training split so mixed-resolution datasets
+        # (e.g. CycleGAN-upscaled sources) batch cleanly
+        self.native_size: tuple[int, int] | None = None
+
+    def _set_native_size(self, primary: str) -> None:
+        shape = self.datasets[primary].image_shape
+        if shape is not None:
+            self.native_size = (shape[0], shape[1])
 
     # -- subclass API -------------------------------------------------------
     def setup(self) -> None:
@@ -51,7 +60,7 @@ class BaseDataModule:
     def _eval_batches(self, ds: RightLaneDataset) -> Iterator[Batch]:
         idx = np.arange(len(ds))
         for b in samplers.batched(idx, self.batch_size, drop_last=False):
-            yield ds.read_batch(b)
+            yield ds.read_batch(b, self.native_size)
 
     def val_batches(self) -> Iterator[Batch]:
         return self._eval_batches(self.datasets["valid"])
@@ -73,13 +82,14 @@ class SimulatorDataModule(BaseDataModule):
             load_into_memory=self.load_into_memory)
         self.datasets["test"] = RightLaneDataset(
             os.path.join(self.data_path, "test"), True)
+        self._set_native_size("train")
 
     def train_batches(self, epoch: int) -> Iterator[Batch]:
         ds = self.datasets["train"]
         idx = samplers.shuffle_epoch(len(ds), self.seed, epoch)
         idx = samplers.shard(idx, self.shard_id, self.num_shards, self.batch_size)
         for b in samplers.batched(idx, self.batch_size, drop_last=True):
-            yield ds.read_batch(b)
+            yield ds.read_batch(b, self.native_size)
 
 
 class TwoDomainDataModule(BaseDataModule):
@@ -95,13 +105,16 @@ class TwoDomainDataModule(BaseDataModule):
         # reference: val == test == target/test (dataModules.py:87-92)
         self.datasets["valid"] = self.datasets["targetTest"]
         self.datasets["test"] = self.datasets["targetTest"]
+        self._set_native_size("targetTrain")
 
     def _concat_read(self, indices) -> Batch:
+        from .datasets import _maybe_resize
         src, tgt = self.datasets["source"], self.datasets["targetTrain"]
         xs, ys = [], []
         for i in indices:
             i = int(i)
             x, y = src[i] if i < len(src) else tgt[i - len(src)]
+            x, y = _maybe_resize(x, y, self.native_size)
             xs.append(x)
             ys.append(y)
         return np.stack(xs), np.stack(ys)
@@ -138,5 +151,5 @@ class TwoDomainMMEDataModule(TwoDomainDataModule):
         unl_b = samplers.batched(unl_idx, self.batch_size, drop_last=True)
         for lb, ub in zip(lab_b, unl_b):
             x_lab, y = self._concat_read(lb)
-            x_unl, _ = unl.read_batch(ub)
+            x_unl, _ = unl.read_batch(ub, self.native_size)
             yield (x_lab, y), x_unl

@@ -1,0 +1,60 @@
+"""LaneNetLite student + distillation step."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sim2real_lane_segment_tpu.core.dtypes import F32_POLICY
+from sim2real_lane_segment_tpu.models.lanenet_lite import LaneNetLite
+from sim2real_lane_segment_tpu.train.distill import DistillTrainer
+
+from helpers import tiny_model
+
+H, W = 24, 32
+
+
+def test_lanenet_lite_forward():
+    m = LaneNetLite(n_classes=4, policy=F32_POLICY)
+    x = jnp.zeros((2, 120, 160, 3))
+    v = m.init(jax.random.key(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 120, 160, 4)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_lanenet_lite_param_budget():
+    m = LaneNetLite(n_classes=4)
+    v = jax.eval_shape(m.init, jax.random.key(0),
+                       jnp.zeros((1, 120, 160, 3), jnp.float32))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"]))
+    assert n < 1_500_000, f"student too big: {n}"
+
+
+def test_distill_step_learns(rng):
+    # teacher = the small FCDenseNet used across tests; student small too
+    teacher = tiny_model()
+    tv = teacher.init(jax.random.key(0), jnp.zeros((1, H, W, 3)))
+    student = LaneNetLite(n_classes=4, stem=(8, 16),
+                          body=((16, 1), (16, 1)), policy=F32_POLICY)
+    tr = DistillTrainer(teacher_model=teacher, teacher_params=tv["params"],
+                        teacher_batch_stats=tv["batch_stats"],
+                        height=H, width=W, augment=False,
+                        student_model=student)
+    state = tr.init_state(jax.random.key(1))
+
+    img = rng.integers(0, 80, (4, H, W, 3), dtype=np.uint8)
+    img[:, :, W // 2:, 1] += 120
+    y = np.zeros((4, H, W), np.uint8)
+    y[:, :, W // 2:] = 1
+
+    key = jax.random.key(2)
+    first = last = None
+    for i in range(25):
+        key, k = jax.random.split(key)
+        state, logs = tr.train_step(state, img, y, k, tr.lr_at(0))
+        if first is None:
+            first = float(logs["tr_loss"])
+        last = float(logs["tr_loss"])
+    assert last < first, (first, last)
+    out = tr.eval_step(state, img, y)
+    assert np.isfinite(float(out["loss"]))
