@@ -15,6 +15,14 @@ from typing import Callable, Iterator
 import jax
 
 
+class _Error:
+    """Error envelope — a dedicated type so real batches (which may be
+    arbitrary tuples of arrays) can never be mistaken for it."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def prefetch_to_device(batch_iter: Iterator, size: int = 2,
                        sharding=None) -> Iterator:
     """Iterate ``batch_iter`` with ``size`` batches staged ahead on device.
@@ -35,7 +43,7 @@ def prefetch_to_device(batch_iter: Iterator, size: int = 2,
             for batch in batch_iter:
                 q.put(jax.tree_util.tree_map(put, batch))
         except BaseException as e:  # propagate into the consumer
-            q.put(("__error__", e))
+            q.put(_Error(e))
             return
         q.put(sentinel)
 
@@ -45,8 +53,8 @@ def prefetch_to_device(batch_iter: Iterator, size: int = 2,
         item = q.get()
         if item is sentinel:
             break
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
-            raise item[1]
+        if isinstance(item, _Error):
+            raise item.exc
         yield item
 
 
@@ -60,7 +68,7 @@ def background_batches(make_iter: Callable[[], Iterator], size: int = 4) -> Iter
             for batch in make_iter():
                 q.put(batch)
         except BaseException as e:
-            q.put(("__error__", e))
+            q.put(_Error(e))
             return
         q.put(sentinel)
 
@@ -69,6 +77,6 @@ def background_batches(make_iter: Callable[[], Iterator], size: int = 4) -> Iter
         item = q.get()
         if item is sentinel:
             break
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
-            raise item[1]
+        if isinstance(item, _Error):
+            raise item.exc
         yield item

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import collision, lanes, physics, render
+from . import collision, lanes, npc as npc_mod, physics, render
 from .maps import Map, builtin_map
 
 MAX_SPAWN_ATTEMPTS = 5000
@@ -68,7 +68,37 @@ class Simulator:
         self.cur_angle = 0.0
         self.speed = 0.0
         self.dr = render.DRParams.default()
+        self.npcs = self._build_npcs()
         self.reset()
+
+    def _build_npcs(self) -> list:
+        """Dynamic objects from the map: non-static duckiebots become
+        lane-following NPCs, non-static duckies walking pedestrians, and
+        'trafficlight' objects period lights (reference objects.py)."""
+        npcs = []
+        ts = self.map.tile_size
+        for i, o in enumerate(self.map.objects):
+            if o.kind == "duckiebot" and not o.static:
+                npcs.append(npc_mod.DuckiebotNPC(
+                    pos=np.asarray(o.pos, np.float32) * ts,
+                    angle=np.radians(o.rotate), obj_index=i))
+            elif o.kind == "duckie" and not o.static:
+                base = np.asarray(o.pos, np.float32) * ts
+                d = np.radians(o.rotate)
+                offset = np.array([np.cos(d), -np.sin(d)], np.float32) * 0.2
+                npcs.append(npc_mod.DuckiePedestrian(
+                    start=base - offset, end=base + offset, obj_index=i))
+            elif o.kind == "trafficlight":
+                npcs.append(npc_mod.TrafficLight(obj_index=i))
+        return npcs
+
+    def _step_npcs(self) -> None:
+        if not self.npcs:
+            return
+        new_objects = npc_mod.step_npcs(
+            self.npcs, np.asarray(self.scene.objects), self.lane_arrays,
+            self.map.tile_size)
+        self.scene = self.scene._replace(objects=jnp.asarray(new_objects))
 
     # -- helpers ------------------------------------------------------------
 
@@ -155,6 +185,7 @@ class Simulator:
         action = np.clip(np.asarray(action, np.float32), -1, 1)
         for _ in range(self.frame_skip):
             self.update_physics(action)
+        self._step_npcs()
         self.step_count += 1
 
         obs = self.render_obs()

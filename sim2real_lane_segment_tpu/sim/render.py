@@ -107,22 +107,19 @@ def make_ray_grid(height: int, width: int, fov_y: float = CAMERA_FOV_Y,
                   distortion: bool = False) -> np.ndarray:
     """(H, W, 3) camera-frame ray directions (x right, y up, z forward).
 
-    With ``distortion`` the pinhole grid is remapped through the fisheye
-    model once at build time (the reference's Distortion class with RasPi
-    intrinsics, distortion.py:10-36).
+    With ``distortion`` the grid comes from the RasPi plumb-bob
+    calibration the reference used (sim/distortion.py): rays are bent
+    once at build time, so distorted rendering costs nothing per frame.
     """
+    if distortion:
+        from .distortion import distorted_ray_grid
+        return distorted_ray_grid(height, width)
     aspect = width / height
     tan_y = np.tan(np.radians(fov_y) / 2)
     ys = np.linspace(1, -1, height) * tan_y
     xs = np.linspace(-1, 1, width) * tan_y * aspect
     xx, yy = np.meshgrid(xs, ys)
     dirs = np.stack([xx, yy, np.ones_like(xx)], axis=-1)
-    if distortion:
-        # equidistant fisheye remap: r_d = f*theta approximation
-        r = np.sqrt(xx ** 2 + yy ** 2)
-        theta = np.arctan(r)
-        k = np.where(r > 1e-8, np.tan(theta * 0.92) / np.maximum(r, 1e-8), 1.0)
-        dirs = np.stack([xx * k, yy * k, np.ones_like(xx)], axis=-1)
     return (dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)).astype(np.float32)
 
 

@@ -53,7 +53,7 @@ class DistillTrainer:
 
     def init_state(self, key: jax.Array) -> DistillState:
         x = jnp.zeros((1, self.cfg.height, self.cfg.width, 3), jnp.float32)
-        variables = self.student.init(key, x)
+        variables = jax.jit(self.student.init)(key, x)
         return DistillState(params=variables["params"],
                             batch_stats=variables.get("batch_stats", {}),
                             opt_state=self.tx.init(variables["params"]))

@@ -17,6 +17,7 @@ from typing import Callable, Iterable
 import jax
 import numpy as np
 
+from ..data.prefetch import background_batches
 from ..ops.metrics import summarize_weighted
 from .checkpoint import save_checkpoint, save_weights
 
@@ -77,7 +78,8 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
     for epoch in range(max_epochs):
         t0 = time.time()
         n_steps = 0
-        for batch in data.train_batches(epoch):
+        # disk reads/stacking overlap device compute on a reader thread
+        for batch in background_batches(lambda e=epoch: data.train_batches(e)):
             key, k_step = jax.random.split(key)
             state, logs = train_step_fn(state, batch, k_step, epoch)
             n_steps += 1

@@ -58,7 +58,7 @@ class MMETrainer(SupervisedTrainer):
 
     def init_state(self, key: jax.Array) -> MMETrainState:
         x = jnp.zeros((1, self.cfg.height, self.cfg.width, 3), jnp.float32)
-        variables = self.model.init(key, x)
+        variables = jax.jit(self.model.init)(key, x)
         params = variables["params"]
         mask = optim.lr_factor_tree(
             params, lambda path: 1.0 if "featureExtractor" in path[0] else 0.0)

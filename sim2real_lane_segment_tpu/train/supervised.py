@@ -59,7 +59,9 @@ class SupervisedTrainer:
 
     def init_state(self, key: jax.Array) -> TrainState:
         x = jnp.zeros((1, self.cfg.height, self.cfg.width, 3), jnp.float32)
-        variables = self.model.init(key, x)
+        # jit the init: un-jitted flax init runs eagerly op-by-op, which is
+        # pathological on remote-compile backends (one compile per op)
+        variables = jax.jit(self.model.init)(key, x)
         return TrainState(params=variables["params"],
                           batch_stats=variables.get("batch_stats", {}),
                           opt_state=self.tx.init(variables["params"]))
