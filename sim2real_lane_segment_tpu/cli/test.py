@@ -33,12 +33,17 @@ def overlay_prediction(img_bgr: np.ndarray, pred: np.ndarray) -> np.ndarray:
     return out
 
 
+ARCHES = ["67", "57", "103", "tiny", "lite"]
+
+
 def build_model(arch: str, num_cls: int):
+    from ..models.lanenet_lite import LaneNetLite
     from ..models.tiramisu import FCDenseNet, fcdensenet57, fcdensenet103
     if arch == "67":
         return None  # trainer default
     return {"57": lambda: fcdensenet57(num_cls),
             "103": lambda: fcdensenet103(num_cls),
+            "lite": lambda: LaneNetLite(n_classes=num_cls),
             "tiny": lambda: FCDenseNet(
                 n_classes=num_cls, down_blocks=(2, 2), up_blocks=(2, 2),
                 bottleneck_layers=2, growth_rate=4,
@@ -103,7 +108,7 @@ def main(args=None) -> dict:
     p.add_argument("--trainDataPath", type=str)
     p.add_argument("--testDataPath", type=str)
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--arch", choices=["67", "57", "103", "tiny"], default="67")
+    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite"], default="67")
     p.add_argument("--height", type=int, default=120)
     p.add_argument("--width", type=int, default=160)
     args = p.parse_args(args)

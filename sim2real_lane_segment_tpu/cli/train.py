@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_epochs", type=int, default=175)
     p.add_argument("--default_root_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--arch", choices=["67", "57", "103", "tiny"], default="67",
+    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite"], default="67",
                    help="FCDenseNet variant (reference trained 67; "
                         "'tiny' is a fast smoke-test config)")
     common.add_data_args(p)
@@ -64,15 +64,8 @@ def main(args=None) -> dict:
 
     kw = dict(data_path=args.dataPath, batch_size=args.batch_size,
               seed=seed, load_into_memory=args.load2memory)
-    model = None
-    if args.arch != "67":
-        from ..models.tiramisu import FCDenseNet, fcdensenet57, fcdensenet103
-        model = {"57": lambda: fcdensenet57(4),
-                 "103": lambda: fcdensenet103(4),
-                 "tiny": lambda: FCDenseNet(
-                     n_classes=4, down_blocks=(2, 2), up_blocks=(2, 2),
-                     bottleneck_layers=2, growth_rate=4,
-                     out_chans_first_conv=8)}[args.arch]()
+    from .test import build_model
+    model = build_model(args.arch, 4)
     tkw = dict(num_cls=4, lr=args.learningRate, decay=args.decay,
                lr_ratio=args.lrRatio, height=args.height, width=args.width,
                gray=args.gray, augment=args.augment, model=model)

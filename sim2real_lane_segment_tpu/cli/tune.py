@@ -86,7 +86,7 @@ def main(args=None) -> dict:
     p.add_argument("--grace_period", type=int, default=25)
     p.add_argument("--reduction_factor", type=int, default=4)
     p.add_argument("--num_cls", type=int, default=4)
-    p.add_argument("--arch", choices=["67", "57", "103", "tiny"], default="67")
+    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite"], default="67")
     p.add_argument("--out_dir", type=str, default="tune_minimax_segmenter")
     common.add_data_args(p)
     common.add_model_args(p)
