@@ -28,13 +28,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _histogram_256(flat: jax.Array) -> jax.Array:
+    """256-bin histogram via compare-and-reduce (TPU scatter-adds —
+    jnp.bincount — measured ~26 ms per 480x640 channel; this form is pure
+    vectorized compares summing on the VPU)."""
+    values = jnp.arange(256, dtype=jnp.int32)[:, None]
+    return jnp.sum((flat[None, :] == values).astype(jnp.int32), axis=1)
+
+
 def _match_channel(src: jax.Array, tmpl: jax.Array) -> jax.Array:
     """Match one uint8 channel (any shape) against a template channel."""
     src_flat = src.reshape(-1).astype(jnp.int32)
     tmpl_flat = tmpl.reshape(-1).astype(jnp.int32)
 
-    src_counts = jnp.bincount(src_flat, length=256)
-    tmpl_counts = jnp.bincount(tmpl_flat, length=256)
+    src_counts = _histogram_256(src_flat)
+    tmpl_counts = _histogram_256(tmpl_flat)
     src_q = jnp.cumsum(src_counts) / src_flat.size
     tmpl_q = jnp.cumsum(tmpl_counts) / tmpl_flat.size
 
@@ -52,8 +60,12 @@ def _match_channel(src: jax.Array, tmpl: jax.Array) -> jax.Array:
 
     lut = jnp.interp(src_q, xp, fp)
     # skimage pipeline rounds via img_as_ubyte (rint) on the float output.
-    lut = jnp.clip(jnp.rint(lut), 0, 255).astype(jnp.uint8)
-    return lut[src_flat].reshape(src.shape)
+    lut = jnp.clip(jnp.rint(lut), 0, 255).astype(jnp.int32)
+    # apply the LUT gather-free: masked sum over the 256 values
+    values = jnp.arange(256, dtype=jnp.int32)[:, None]
+    eq = (src_flat[None, :] == values)
+    out = jnp.sum(jnp.where(eq, lut[:, None], 0), axis=0).astype(jnp.uint8)
+    return out.reshape(src.shape)
 
 
 def match_histograms(source: jax.Array, reference: jax.Array) -> jax.Array:

@@ -43,6 +43,7 @@ class SceneArrays(NamedTuple):
     atlas: jax.Array        # (n_slots, RES, RES, 3) uint8
     tile_slot: jax.Array    # (gh, gw) int32 — base atlas slot per tile
     tile_rot: jax.Array     # (gh, gw) int32 — number of 90° uv rotations
+    shade_code: jax.Array   # (gh, gw) int32 — procedural shading codes
     tile_size: float
     grid_hw: tuple[int, int]
     # objects: cylinders (x, z, radius, height, r, g, b, annotated_flag)
@@ -90,10 +91,13 @@ def build_scene(m: Map, seed: int = 0) -> SceneArrays:
                      radius, o.height, *color, annotated])
     if not objs:
         objs = [[1e9, 1e9, 0.0, 0.0, 0, 0, 0, 0.0]]
+    from .shading import build_shade_arrays
+    shade_code, _ = build_shade_arrays(m)
     return SceneArrays(
         atlas=jnp.asarray(atlas_np),
         tile_slot=jnp.asarray(slot),
         tile_rot=jnp.asarray(rot),
+        shade_code=jnp.asarray(shade_code),
         tile_size=m.tile_size,
         grid_hw=(gh, gw),
         objects=jnp.asarray(np.asarray(objs, np.float32)))
@@ -195,12 +199,26 @@ class DRParams(NamedTuple):
             horizon_shift=jax.random.uniform(k3, (), minval=-25.0, maxval=25.0))
 
 
+def _grid_lookup(values: jax.Array, tjc: jax.Array, tic: jax.Array):
+    """Gather-free (H, W) lookup into a small (gh, gw) grid via one-hot
+    matmul (TPU gathers are slow; a <=few-hundred-wide compare+matmul is
+    microseconds on the VPU/MXU)."""
+    gh, gw = values.shape
+    flat_idx = tjc * gw + tic                       # (H, W)
+    n = gh * gw
+    onehot = (flat_idx[..., None] ==
+              jnp.arange(n, dtype=flat_idx.dtype)).astype(jnp.float32)
+    out = onehot @ values.reshape(n).astype(jnp.float32)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "annotated",
-                                             "distortion"))
+                                             "distortion", "procedural"))
 def render_frame(scene: SceneArrays, pos: jax.Array, angle: jax.Array,
                  dr: DRParams, noise_key: jax.Array, *,
                  height: int = 480, width: int = 640,
-                 annotated: bool = False, distortion: bool = False) -> jax.Array:
+                 annotated: bool = False, distortion: bool = False,
+                 procedural: bool = True) -> jax.Array:
     """Render one (height, width, 3) uint8 RGB frame."""
     rays_cam = jnp.asarray(make_ray_grid(height, width, distortion=distortion))
     rays = rotate_rays(rays_cam, -CAMERA_ANGLE, angle)
@@ -224,11 +242,19 @@ def render_frame(scene: SceneArrays, pos: jax.Array, angle: jax.Array,
     tic = jnp.clip(ti, 0, gw - 1)
     tjc = jnp.clip(tj, 0, gh - 1)
 
-    slot = scene.tile_slot[tjc, tic] + (1 if annotated else 0)
-    rot = scene.tile_rot[tjc, tic]
     uv = jnp.stack([hx / ts - ti, hz / ts - tj], axis=-1)
-    uv = _rotate_uv(jnp.clip(uv, 0.0, 1.0 - 1e-6), rot)
-    ground_rgb = _sample_atlas(scene.atlas, slot, uv)
+    uv = jnp.clip(uv, 0.0, 1.0 - 1e-6)
+    if procedural:
+        from .shading import shade
+        rot = _grid_lookup(scene.tile_rot, tjc, tic).astype(jnp.int32)
+        code = _grid_lookup(scene.shade_code, tjc, tic).astype(jnp.int32)
+        cuv = _rotate_uv(uv, rot)
+        ground_rgb = shade(code, cuv, annotated)
+    else:
+        slot = scene.tile_slot[tjc, tic] + (1 if annotated else 0)
+        rot = scene.tile_rot[tjc, tic]
+        cuv = _rotate_uv(uv, rot)
+        ground_rgb = _sample_atlas(scene.atlas, slot, cuv)
     # outside the grid: dark floor
     ground_rgb = jnp.where(in_grid[..., None], ground_rgb,
                            jnp.asarray([60.0, 70.0, 60.0]))
