@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite"], default="67",
                    help="FCDenseNet variant (reference trained 67; "
                         "'tiny' is a fast smoke-test config)")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from the run's checkpoint dir if present")
+    p.add_argument("--profile", action="store_true",
+                   help="Capture a JAX profiler trace (xplane) of the first "
+                        "epochs under <out_dir>/profile")
     common.add_data_args(p)
     common.add_model_args(p)
     return p
@@ -95,10 +100,30 @@ def main(args=None) -> dict:
     state = trainer.init_state(jax.random.key(seed))
     if args.trainType == "mme":
         state = ckpt.load_weights(args.pretrained_path, state)
+    start_epoch = 0
+    if args.resume:
+        ckpt_dir = os.path.join(out_dir, "checkpoints")
+        if os.path.exists(os.path.join(ckpt_dir, "best.msgpack")):
+            state, meta = ckpt.load_checkpoint(ckpt_dir, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            logging.info("resumed from %s at epoch %d", ckpt_dir, start_epoch)
 
-    best_state, best_iou, _ = fit(
-        trainer, state, data, max_epochs=args.max_epochs, out_dir=out_dir,
-        model_name=args.model_name, seed=seed, train_step_fn=train_step_fn)
+    profiler_ctx = None
+    if args.profile:
+        profile_dir = os.path.join(out_dir, "profile")
+        os.makedirs(profile_dir, exist_ok=True)
+        jax.profiler.start_trace(profile_dir)
+        profiler_ctx = profile_dir
+
+    try:
+        best_state, best_iou, _ = fit(
+            trainer, state, data, max_epochs=args.max_epochs, out_dir=out_dir,
+            model_name=args.model_name, seed=seed, train_step_fn=train_step_fn,
+            start_epoch=start_epoch)
+    finally:
+        if profiler_ctx:
+            jax.profiler.stop_trace()
+            logging.info("profiler trace written to %s", profiler_ctx)
     logging.info("best val_iou %.4f; artifacts in %s", best_iou, out_dir)
     return {"best_iou": best_iou, "out_dir": out_dir}
 

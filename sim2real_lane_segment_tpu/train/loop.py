@@ -56,7 +56,7 @@ def run_eval(eval_step: Callable, state, batches: Iterable) -> dict:
 def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
         model_name: str = "baseline", seed: int = 42,
         train_step_fn: Callable | None = None,
-        log_every: int = 50) -> tuple:
+        log_every: int = 50, start_epoch: int = 0) -> tuple:
     """Train with per-epoch validation and best-val_iou checkpointing.
 
     ``trainer`` is a SupervisedTrainer/MMETrainer; ``data`` a data module.
@@ -75,7 +75,7 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
             lr = trainer.lr_at(epoch)
             return trainer.train_step(state, images, labels, key, lr)
 
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         n_steps = 0
         # disk reads/stacking overlap device compute on a reader thread
