@@ -54,7 +54,7 @@ def main(args=None) -> int:
     p.add_argument("--videoIns", type=str, nargs="+", required=True)
     p.add_argument("--videoOuts", type=str, default=["./demoVideo.avi"], nargs="+")
     p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite"], default="67")
+    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite", "encdec"], default="67")
     args = p.parse_args(args)
     common.setup_runtime()
 

@@ -33,10 +33,11 @@ def overlay_prediction(img_bgr: np.ndarray, pred: np.ndarray) -> np.ndarray:
     return out
 
 
-ARCHES = ["67", "57", "103", "tiny", "lite"]
+ARCHES = ["67", "57", "103", "tiny", "lite", "encdec"]
 
 
 def build_model(arch: str, num_cls: int):
+    from ..models.encdec import EncDecNet
     from ..models.lanenet_lite import LaneNetLite
     from ..models.tiramisu import FCDenseNet, fcdensenet57, fcdensenet103
     if arch == "67":
@@ -44,6 +45,8 @@ def build_model(arch: str, num_cls: int):
     return {"57": lambda: fcdensenet57(num_cls),
             "103": lambda: fcdensenet103(num_cls),
             "lite": lambda: LaneNetLite(n_classes=num_cls),
+            "encdec": lambda: EncDecNet(n_features=64, n_levels=3,
+                                        kernel_size=3, n_classes=num_cls),
             "tiny": lambda: FCDenseNet(
                 n_classes=num_cls, down_blocks=(2, 2), up_blocks=(2, 2),
                 bottleneck_layers=2, growth_rate=4,
@@ -108,7 +111,7 @@ def main(args=None) -> dict:
     p.add_argument("--trainDataPath", type=str)
     p.add_argument("--testDataPath", type=str)
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite"], default="67")
+    p.add_argument("--arch", choices=ARCHES, default="67")
     p.add_argument("--height", type=int, default=120)
     p.add_argument("--width", type=int, default=160)
     args = p.parse_args(args)

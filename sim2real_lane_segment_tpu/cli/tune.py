@@ -86,7 +86,7 @@ def main(args=None) -> dict:
     p.add_argument("--grace_period", type=int, default=25)
     p.add_argument("--reduction_factor", type=int, default=4)
     p.add_argument("--num_cls", type=int, default=4)
-    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite"], default="67")
+    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite", "encdec"], default="67")
     p.add_argument("--out_dir", type=str, default="tune_minimax_segmenter")
     common.add_data_args(p)
     common.add_model_args(p)
@@ -105,6 +105,15 @@ def main(args=None) -> dict:
     trials = [{"id": i, "config": sample_config(rng), "state": None,
                "epoch": 0, "best_iou": -1.0, "alive": True}
               for i in range(args.num_samples)]
+
+    # multi-host sweeps: shard trials round-robin by process index (each
+    # host runs its own ASHA over its shard; results merge via best.json)
+    import jax
+    pidx, pcount = jax.process_index(), jax.process_count()
+    if pcount > 1:
+        trials = [t for t in trials if t["id"] % pcount == pidx]
+        args.out_dir = os.path.join(args.out_dir, f"host_{pidx}")
+        log.info("process %d/%d runs %d trials", pidx, pcount, len(trials))
 
     # successive halving rungs: grace, grace*rf, ... capped at num_epochs
     rungs = []

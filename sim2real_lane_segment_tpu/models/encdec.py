@@ -79,7 +79,7 @@ class EncDecNet(nn.Module):
     policy: DTypePolicy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, use_softmax: bool = True):
         if self.n_features < 1 or self.n_levels < 1:
             raise ValueError("n_features and n_levels must be >= 1")
         if self.activation not in ACTIVATIONS:
@@ -106,4 +106,5 @@ class EncDecNet(nn.Module):
 
         x = nn.Conv(self.n_classes, (1, 1), dtype=self.policy.compute_dtype,
                     param_dtype=self.policy.param_dtype, name="classifier")(x)
-        return jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+        x = x.astype(jnp.float32)
+        return jax.nn.softmax(x, axis=-1) if use_softmax else x

@@ -38,6 +38,7 @@ class MapObject:
     rotate: float       # degrees
     height: float
     static: bool = True
+    mesh: str | None = None  # optional OBJ path (else procedural geometry)
 
 
 @dataclasses.dataclass
@@ -94,7 +95,8 @@ def load_map_dict(name: str, data: dict[str, Any]) -> Map:
             kind=obj["kind"], pos=pos[:2] if pos.size >= 2 else pos,
             rotate=float(obj.get("rotate", 0.0)),
             height=float(obj.get("height", 0.1)),
-            static=bool(obj.get("static", True))))
+            static=bool(obj.get("static", True)),
+            mesh=obj.get("mesh")))
     start = data.get("start_tile")
     return Map(name=name, tiles=tiles,
                tile_size=float(data.get("tile_size", 0.585)),

@@ -46,8 +46,9 @@ class SceneArrays(NamedTuple):
     shade_code: jax.Array   # (gh, gw) int32 — procedural shading codes
     tile_size: float
     grid_hw: tuple[int, int]
-    # objects: cylinders (x, z, radius, height, r, g, b, annotated_flag)
-    objects: jax.Array      # (n_obj, 8) float32 (zero rows when none)
+    # objects: cylinders (x, z, radius, h, r, g, b, annotated, draw)
+    objects: jax.Array      # (n_obj, 9) float32 (inert row when none)
+    meshes: "MeshSet"       # packed OBJ/box triangles (objmesh.py)
 
 
 OBJECT_COLORS = {
@@ -64,6 +65,12 @@ OBJECT_COLORS = {
 }
 OBJECT_RADII = {"duckie": 0.06, "duckiebot": 0.08, "cone": 0.05,
                 "barrier": 0.15, "tree": 0.2, "building": 0.4}
+# kinds rendered as box meshes (reference loaded OBJ meshes for these;
+# map objects may also specify an explicit ``mesh: path.obj``)
+MESH_KINDS = {"duckiebot": (0.13, 0.12, 0.18), "barrier": (0.5, 0.12, 0.1),
+              "building": (0.6, 0.5, 0.6), "house": (0.6, 0.4, 0.6),
+              "truck": (0.2, 0.2, 0.5), "bus": (0.2, 0.25, 0.6),
+              "sign": (0.12, 0.25, 0.02)}
 
 
 def build_scene(m: Map, seed: int = 0) -> SceneArrays:
@@ -80,17 +87,32 @@ def build_scene(m: Map, seed: int = 0) -> SceneArrays:
                 kind = t.kind if t.kind in kind_index else "asphalt"
                 slot[j, i] = kind_index[kind]
                 rot[j, i] = rotate_tex_index(t.orientation)
+    from .objmesh import MeshSet, load_obj, make_box_mesh, place_mesh
     objs = []
+    mesh_instances = []
     for o in m.objects:
         color = OBJECT_COLORS.get(o.kind, (150, 150, 150))
         radius = OBJECT_RADII.get(o.kind, 0.08)
         # duckies/bots/cones on drivable tiles are "obstacles" — their
         # annotated render is pure red (postprocess_v2 r>0 rule)
         annotated = 1.0 if o.kind in ("duckie", "duckiebot", "cone") else 0.0
-        objs.append([o.pos[0] * m.tile_size, o.pos[1] * m.tile_size,
-                     radius, o.height, *color, annotated])
+        pos_world = (o.pos[0] * m.tile_size, o.pos[1] * m.tile_size)
+        mesh_path = getattr(o, "mesh", None)
+        mesh = None
+        if mesh_path:
+            mesh = load_obj(mesh_path)
+        elif o.kind in MESH_KINDS:
+            sx, sy, sz = MESH_KINDS[o.kind]
+            sy = o.height or sy
+            mesh = make_box_mesh(sx, sy, sz, color)
+        draw_cyl = 0.0 if mesh is not None else 1.0
+        objs.append([*pos_world, radius, o.height, *color, annotated,
+                     draw_cyl])
+        if mesh is not None:
+            mesh_instances.append((place_mesh(mesh, pos_world, o.rotate),
+                                   mesh.colors, annotated))
     if not objs:
-        objs = [[1e9, 1e9, 0.0, 0.0, 0, 0, 0, 0.0]]
+        objs = [[1e9, 1e9, 0.0, 0.0, 0, 0, 0, 0.0, 0.0]]
     from .shading import build_shade_arrays
     shade_code, _ = build_shade_arrays(m)
     return SceneArrays(
@@ -100,7 +122,8 @@ def build_scene(m: Map, seed: int = 0) -> SceneArrays:
         shade_code=jnp.asarray(shade_code),
         tile_size=m.tile_size,
         grid_hw=(gh, gw),
-        objects=jnp.asarray(np.asarray(objs, np.float32)))
+        objects=jnp.asarray(np.asarray(objs, np.float32)),
+        meshes=MeshSet.build(mesh_instances))
 
 
 # ---------------------------------------------------------------------------
@@ -269,9 +292,9 @@ def render_frame(scene: SceneArrays, pos: jax.Array, angle: jax.Array,
     # ---- objects: vertical cylinders, nearest-hit composite
     def composite(carry, obj):
         rgb, depth = carry
-        ox, oz, radius, h_obj, r, g, b, annot = (obj[0], obj[1], obj[2],
-                                                 obj[3], obj[4], obj[5],
-                                                 obj[6], obj[7])
+        ox, oz, radius, h_obj, r, g, b, annot, draw = (
+            obj[0], obj[1], obj[2], obj[3], obj[4], obj[5], obj[6], obj[7],
+            obj[8])
         # ray-cylinder (axis vertical at (ox, oz))
         dx, dyr, dz = rays[..., 0], rays[..., 1], rays[..., 2]
         fx = cam_pos[0] - ox
@@ -283,7 +306,8 @@ def render_frame(scene: SceneArrays, pos: jax.Array, angle: jax.Array,
         hit = disc > 0
         tq = (-bq - jnp.sqrt(jnp.where(hit, disc, 0.0))) / (2 * a + 1e-12)
         ylevel = cam_pos[1] + tq * dyr
-        valid = hit & (tq > 0) & (ylevel > 0) & (ylevel < h_obj) & (tq < depth)
+        valid = hit & (tq > 0) & (ylevel > 0) & (ylevel < h_obj) & \
+            (tq < depth) & (draw > 0.5)
         if annotated:
             color = jnp.where(annot > 0.5,
                               jnp.asarray(ANNOT_OBSTACLE, jnp.float32),
@@ -297,6 +321,12 @@ def render_frame(scene: SceneArrays, pos: jax.Array, angle: jax.Array,
         return (new_rgb, new_depth), None
 
     (rgb, depth), _ = jax.lax.scan(composite, (rgb, depth), scene.objects)
+
+    # ---- OBJ/box meshes (Möller–Trumbore scan over triangles)
+    from .objmesh import composite_meshes
+    rgb, depth = composite_meshes(rays, cam_pos, rgb, depth, scene.meshes,
+                                  annotated,
+                                  jnp.asarray(ANNOT_OBSTACLE, jnp.float32))
 
     # ---- domain randomization: light scale + camera noise
     rgb = rgb * dr.light_rgb
