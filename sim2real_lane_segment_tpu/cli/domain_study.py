@@ -1,0 +1,225 @@
+"""End-to-end domain-adaptation study — the reference's experimental
+design as one reproducible command.
+
+Generates a source domain (clean loop_empty renders) and a shifted target
+domain (zigzag map + fisheye distortion + color shift), then trains and
+evaluates the adaptation regimes on the target test split:
+
+  baseline  — source-only supervised training
+  st        — source + small labelled target subset (50/50 sampling)
+  hm        — histogram-matched source + S&T training
+  mme       — minimax-entropy SSDA from the baseline weights
+
+Writes a JSON summary of target-domain metrics per regime.  Runs
+anywhere JAX runs; sized for a single TPU chip in tens of minutes with
+``--arch lite``.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import shutil
+import time
+
+import numpy as np
+
+from . import common
+
+log = logging.getLogger(__name__)
+
+
+def _record_domain(out_dir: str, map_name: str, *, seed: int, episodes: int,
+                   steps: int, distortion: bool, color_shift=None) -> None:
+    import cv2
+    import jax
+
+    from ..cli import postprocess, preprocess_db
+    from ..data.videoio import AsyncVideoWriter
+    from ..sim import lanes, render, rollout
+    from ..sim.maps import builtin_map
+
+    if os.path.exists(os.path.join(out_dir, "train")):
+        log.info("%s cached", out_dir)
+        return
+    m = builtin_map(map_name)
+    scene = render.build_scene(m, seed=seed)
+    la = lanes.build_lane_arrays(m)
+    rng = np.random.default_rng(seed)
+    rec = out_dir + "_rec"
+    os.makedirs(rec, exist_ok=True)
+    key = jax.random.key(seed)
+    for seq in range(episodes):
+        pos, angle = rollout.sample_spawns(m, la, rng, 1)
+        with AsyncVideoWriter(f"{rec}/{seq:03d}_orig.avi",
+                              frame_size=(640, 480)) as wo, \
+                AsyncVideoWriter(f"{rec}/{seq:03d}_annot.avi",
+                                 frame_size=(640, 480)) as wa:
+            done = 0
+            while done < steps:
+                key, k = jax.random.split(key)
+                batch = rollout.expert_rollout(
+                    scene, la, k, pos, angle, tile_size=m.tile_size,
+                    n_steps=24, height=480, width=640, distortion=distortion)
+                wo.write(np.asarray(batch.orig)[:, 0, :, :, ::-1])
+                wa.write(np.asarray(batch.annot)[:, 0, :, :, ::-1])
+                pos, angle = batch.pos[-1], batch.angle[-1]
+                done += 24
+        log.info("%s: episode %d rendered", map_name, seq)
+    raw = out_dir + "_raw"
+    postprocess.main(["-id", rec, "-od", raw])
+    preprocess_db.main(["--dbType", "sim", "--dataPath", raw])
+    if color_shift is not None:
+        scale, shift = color_shift
+        for split in ("train", "valid", "test"):
+            for p in glob.glob(f"{raw}/{split}/input/*.png"):
+                img = cv2.imread(p).astype(np.float32)
+                img = img * np.asarray(scale) + shift
+                cv2.imwrite(p, np.clip(img, 0, 255).astype(np.uint8))
+    os.rename(raw, out_dir)
+
+
+def _build_tree(root: str, src: str, tgt: str, n_labelled: int,
+                hm: bool) -> str:
+    from ..cli import hist_match
+
+    shutil.rmtree(root, ignore_errors=True)
+
+    def cp(pairs, dst, labelled=True):
+        os.makedirs(f"{root}/{dst}/input", exist_ok=True)
+        if labelled:
+            os.makedirs(f"{root}/{dst}/label", exist_ok=True)
+        for k, ip in enumerate(pairs):
+            shutil.copy(ip, f"{root}/{dst}/input/{k:06d}.png")
+            if labelled:
+                shutil.copy(ip.replace("input", "label"),
+                            f"{root}/{dst}/label/{k:06d}.png")
+
+    src_train = sorted(glob.glob(f"{src}/train/input/*.png"))
+    tgt_train = sorted(glob.glob(f"{tgt}/train/input/*.png"))
+    tgt_valid = sorted(glob.glob(f"{tgt}/valid/input/*.png"))
+    tgt_test = sorted(glob.glob(f"{tgt}/test/input/*.png"))
+    cp(src_train, "source")
+    cp(tgt_train[:n_labelled], "target/train")
+    cp(tgt_train + tgt_valid, "target/unlabelled", labelled=False)
+    cp(tgt_test, "target/test")
+    if hm:
+        hist_match.main(["--ds_source", f"{root}/source",
+                         "--ds_reference", f"{root}/target/unlabelled",
+                         "--batch_size", "16"])
+    return root
+
+
+def main(args=None) -> dict:
+    common.setup_logging()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="domain_study")
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--episodes", type=int, default=3)
+    p.add_argument("--steps", type=int, default=96)
+    p.add_argument("--n_labelled", type=int, default=24)
+    p.add_argument("--arch", default="lite",
+                   choices=["67", "57", "103", "tiny", "lite", "encdec"])
+    p.add_argument("--source-map", default="loop_empty")
+    p.add_argument("--target-map", default="zigzag")
+    p.add_argument("--regimes", nargs="+",
+                   default=["baseline", "st", "hm", "mme"])
+    args = p.parse_args(args)
+    common.setup_runtime()
+
+    import jax
+
+    from ..data.modules import (SimulatorDataModule, TwoDomainDataModule,
+                                TwoDomainMMEDataModule)
+    from ..train.loop import fit, run_eval
+    from ..train.mme import MMETrainer
+    from ..train.supervised import SupervisedTrainer
+    from .test import build_model
+
+    os.makedirs(args.workdir, exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(args.workdir)
+    try:
+        _record_domain("sourceData", args.source_map, seed=0,
+                       episodes=args.episodes, steps=args.steps,
+                       distortion=False)
+        _record_domain("targetData", args.target_map, seed=9,
+                       episodes=args.episodes, steps=args.steps,
+                       distortion=True,
+                       color_shift=((1.05, 0.85, 0.7), -12))
+
+        kw = lambda: dict(num_cls=4, augment=True,
+                          model=build_model(args.arch, 4))
+        results: dict = {}
+        b_state = None
+
+        if "baseline" in args.regimes or "mme" in args.regimes:
+            t0 = time.time()
+            base = SupervisedTrainer(**kw())
+            data = SimulatorDataModule(data_path="sourceData", batch_size=32,
+                                       seed=42, load_into_memory=True)
+            data.setup()
+            b_state, _, _ = fit(base, base.init_state(jax.random.key(0)),
+                                data, max_epochs=args.epochs,
+                                out_dir="results/baseline")
+            tgt = SimulatorDataModule(data_path="targetData", batch_size=32,
+                                      seed=42)
+            tgt.setup()
+            results["baseline"] = run_eval(base.eval_step, b_state,
+                                           tgt.test_batches())
+            log.info("baseline: %s (%.0fs)", results["baseline"],
+                     time.time() - t0)
+
+        for name in ("st", "hm"):
+            if name not in args.regimes:
+                continue
+            t0 = time.time()
+            root = _build_tree(f"srd_{name}", "sourceData", "targetData",
+                               args.n_labelled, hm=(name == "hm"))
+            tr = SupervisedTrainer(**kw())
+            data = TwoDomainDataModule(data_path=root, batch_size=32,
+                                       seed=42, load_into_memory=True)
+            data.setup()
+            s, _, _ = fit(tr, tr.init_state(jax.random.key(1)), data,
+                          max_epochs=args.epochs, out_dir=f"results/{name}")
+            results[name] = run_eval(tr.eval_step, s, data.test_batches())
+            log.info("%s: %s (%.0fs)", name, results[name], time.time() - t0)
+
+        if "mme" in args.regimes:
+            t0 = time.time()
+            root = _build_tree("srd_mme", "sourceData", "targetData",
+                               args.n_labelled, hm=False)
+            mme = MMETrainer(**kw())
+            m_state = mme.init_state(jax.random.key(3))
+            m_state = m_state.replace(params=b_state.params,
+                                      batch_stats=b_state.batch_stats)
+            data = TwoDomainMMEDataModule(data_path=root, batch_size=32,
+                                          seed=42, load_into_memory=True)
+            data.setup()
+
+            def mme_step(state, batch, key, epoch):
+                (x_lab, y), x_unl = batch
+                lr_g_fe, lr_g_cls, lr_f = mme.lrs_at(epoch)
+                return mme.mme_train_step(state, x_lab, y, x_unl, key,
+                                          lr_g_fe, lr_g_cls, lr_f)
+
+            m_best, _, _ = fit(mme, m_state, data, max_epochs=args.epochs,
+                               out_dir="results/mme", train_step_fn=mme_step)
+            results["mme"] = run_eval(mme.eval_step, m_best,
+                                      data.test_batches())
+            log.info("mme: %s (%.0fs)", results["mme"], time.time() - t0)
+
+        with open("study_summary.json", "w") as f:
+            json.dump(results, f, indent=2)
+        print("STUDY SUMMARY (target-domain test):")
+        for k, v in results.items():
+            print(f"  {k:10s} acc {v['acc']:.2f}  iou {v['iou']:.2f}")
+        return results
+    finally:
+        os.chdir(cwd)
+
+
+if __name__ == "__main__":
+    main()

@@ -123,6 +123,7 @@ def main(args=None) -> dict:
 
     from ..data.datasets import RightLaneDataset
     from ..data.samplers import batched
+    from ..ops.augment import eval_batch
     from ..ops.metrics import confusion_matrix, summarize_weighted
 
     trainer, state = load_trainer_and_state(
@@ -148,7 +149,6 @@ def main(args=None) -> dict:
             images, labels = ds.read_batch(idx)
             outs.append(jax.device_get(trainer.eval_step(state, images, labels)))
             preds = np.asarray(trainer.predict_step(state, images))
-            from ..ops.augment import eval_batch
             _, y = eval_batch(images, labels, trainer.cfg)
             conf += np.asarray(confusion_matrix(preds, np.asarray(y), 4))
         logs = summarize_weighted(outs)

@@ -70,26 +70,57 @@ class ResBlock(nn.Module):
         return nn.relu(h + x.astype(h.dtype)).astype(self.policy.compute_dtype)
 
 
-class LaneNetLite(nn.Module):
-    n_classes: int = 4
+class LaneNetLiteFeatures(nn.Module):
+    """Stem + residual body: frames -> (H/4, W/4, C) features."""
     stem: Sequence[int] = (32, 64)
     body: Sequence[tuple] = ((64, 1), (64, 1), (96, 2), (96, 4), (128, 1))
     policy: DTypePolicy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, use_softmax: bool = True):
-        n, h0, w0, _ = x.shape
+    def __call__(self, x, *, train: bool = False):
         x = x.astype(self.policy.compute_dtype)
         for f in self.stem:
             x = ConvBN(f, stride=2, policy=self.policy)(x, train=train)
         for f, d in self.body:
             x = ResBlock(f, dilation=d, policy=self.policy)(x, train=train)
+        return x
+
+
+class LaneNetLiteClassifier(nn.Module):
+    """1x1 class head at /4 resolution + bilinear x4 + softmax."""
+    n_classes: int = 4
+    policy: DTypePolicy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, *, use_softmax: bool = True):
+        n, hf, wf, _ = x.shape
         x = nn.Conv(self.n_classes, (1, 1),
                     dtype=self.policy.compute_dtype,
                     param_dtype=self.policy.param_dtype,
                     name="head")(x)
         x = x.astype(jnp.float32)
-        x = jax.image.resize(x, (n, h0, w0, self.n_classes), method="bilinear")
+        x = jax.image.resize(x, (n, hf * 4, wf * 4, self.n_classes),
+                             method="bilinear")
         if use_softmax:
             x = jax.nn.softmax(x, axis=-1)
         return x
+
+
+class LaneNetLite(nn.Module):
+    """featureExtractor/classifier split matching the Tiramisu module
+    layout, so the MME adversarial step (grad_reverse between the two)
+    works with the serving model as well."""
+    n_classes: int = 4
+    stem: Sequence[int] = (32, 64)
+    body: Sequence[tuple] = ((64, 1), (64, 1), (96, 2), (96, 4), (128, 1))
+    policy: DTypePolicy = DEFAULT_POLICY
+
+    def setup(self):
+        self.featureExtractor = LaneNetLiteFeatures(
+            stem=self.stem, body=self.body, policy=self.policy)
+        self.classifier = LaneNetLiteClassifier(
+            n_classes=self.n_classes, policy=self.policy)
+
+    def __call__(self, x, *, train: bool = False, use_softmax: bool = True):
+        feats = self.featureExtractor(x, train=train)
+        return self.classifier(feats, use_softmax=use_softmax)

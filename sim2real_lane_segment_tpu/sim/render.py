@@ -158,8 +158,7 @@ def rotate_rays(rays: jax.Array, pitch_deg: float, heading: jax.Array) -> jax.Ar
     p = jnp.radians(pitch_deg)
     cy, sy = jnp.cos(p), jnp.sin(p)
     x, y, z = rays[..., 0], rays[..., 1], rays[..., 2]
-    # pitch down about camera x-axis
-    y2 = y * cy + z * sy * 0  # keep y for clarity below
+    # pitch down about the camera x-axis
     y2 = y * cy - z * sy
     z2 = y * sy + z * cy
     # yaw: camera +z (forward) maps to heading direction (cos a, 0, -sin a)
