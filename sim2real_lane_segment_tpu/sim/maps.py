@@ -111,49 +111,226 @@ def load_map(path: str) -> Map:
 
 
 # ---------------------------------------------------------------------------
-# builtin maps (authored here, not copied)
+# builtin maps
 # ---------------------------------------------------------------------------
+# Orientation letters are the reference's (simulator.py:595 + the
+# maps/udem1.yaml header docs): the letter is the compass direction the
+# agent is expected to drive — /N north, /E east, /S south, /W west.
+# A counterclockwise ring: top edge straight/W, west column straight/S,
+# bottom edge straight/E, east column straight/N, with curve_left/W,
+# /S, /E, /N at the NW, SW, SE, NE corners respectively.
+#
+# Layouts equivalent to the reference's 11 shipped maps (gym_duckietown/
+# maps/*.yaml, regress_* fixtures excluded) are authored below as Python
+# data; ``zigzag`` is this repo's own extra closed course.
 
-# Orientation cheat sheet (derived from the uv rotation + canonical flows;
-# see lanes.py): straight/N flows north, /S south, /W east, /E west.
-# curve_left connects: /N south-edge->west, /W west->north, /S north->east,
-# /E east->south.  curve_right: /N south->east, /W west->south,
-# /S north->west, /E east->north.  A counterclockwise ring is therefore:
-# west column straight/S, SW corner curve_left/S, bottom edge straight/W,
-# SE corner curve_left/W, east column straight/N, NE corner curve_left/N,
-# top edge straight/E, NW corner curve_left/E.
+_TS = 0.585
+
+# the 7x8 closed course shared by loop_empty / loop_obstacles /
+# loop_pedestrians / loop_dyn_duckiebots (they differ only in objects)
+_LOOP_COURSE = [
+    ["floor", "floor", "floor", "floor", "floor", "floor", "floor", "floor"],
+    ["floor", "curve_left/W", "straight/W", "straight/W", "straight/W",
+     "straight/W", "curve_left/N", "floor"],
+    ["floor", "straight/S", "floor", "floor", "floor", "floor",
+     "straight/N", "floor"],
+    ["floor", "straight/S", "floor", "floor", "floor", "floor",
+     "straight/N", "floor"],
+    ["floor", "straight/S", "floor", "floor", "curve_right/N", "straight/E",
+     "curve_left/E", "floor"],
+    ["floor", "curve_left/S", "straight/E", "straight/E", "curve_left/E",
+     "floor", "floor", "floor"],
+    ["floor", "floor", "floor", "floor", "floor", "floor", "floor", "floor"],
+]
+
+# obstacle set shared by loop_obstacles / loop_pedestrians /
+# loop_dyn_duckiebots (the variants add dynamic actors on top)
+_LOOP_OBSTACLES = [
+    {"kind": "duckie", "pos": [3.5, 1.2], "rotate": 10, "height": 0.06},
+    {"kind": "cone", "pos": [6.8, 2.5], "rotate": 90, "height": 0.08},
+    {"kind": "cone", "pos": [6.6, 2.4], "rotate": 90, "height": 0.08},
+    {"kind": "duckie", "pos": [1.5, 5.5], "rotate": 90, "height": 0.08},
+    {"kind": "duckiebot", "pos": [4.5, 5.75], "rotate": -45, "height": 0.12},
+    {"kind": "barrier", "pos": [0.9, 3], "rotate": 100, "height": 0.08},
+]
+
 BUILTIN_MAPS: dict[str, dict] = {
     "straight_road": {
-        "tile_size": 0.585,
-        "tiles": [
-            ["floor"] + ["straight/E"] * 6 + ["floor"],
-        ],
+        "tile_size": _TS,
+        "tiles": [["straight/E"] * 36],
+        "start_tile": [0, 0],
     },
     "small_loop": {
-        "tile_size": 0.585,
+        "tile_size": _TS,
         "tiles": [
-            ["curve_left/E", "straight/E", "curve_left/N"],
+            ["curve_left/W", "straight/W", "curve_left/N"],
             ["straight/S", "asphalt", "straight/N"],
-            ["curve_left/S", "straight/W", "curve_left/W"],
+            ["curve_left/S", "straight/E", "curve_left/E"],
         ],
     },
-    "loop_empty": {
-        "tile_size": 0.585,
+    "small_loop_cw": {
+        "tile_size": _TS,
         "tiles": [
-            ["curve_left/E", "straight/E", "straight/E", "straight/E", "curve_left/N"],
-            ["straight/S", "asphalt", "asphalt", "asphalt", "straight/N"],
-            ["straight/S", "asphalt", "grass", "asphalt", "straight/N"],
-            ["straight/S", "asphalt", "asphalt", "asphalt", "straight/N"],
-            ["curve_left/S", "straight/W", "straight/W", "straight/W", "curve_left/W"],
+            ["curve_right/N", "straight/E", "curve_right/E"],
+            ["straight/N", "asphalt", "straight/S"],
+            ["curve_right/W", "straight/W", "curve_right/S"],
+        ],
+    },
+    "loop": {
+        "tile_size": _TS,
+        "tiles": [
+            ["asphalt"] * 6,
+            ["asphalt", "curve_left/W", "straight/W", "straight/W",
+             "curve_left/N", "asphalt"],
+            ["asphalt", "straight/S", "asphalt", "asphalt", "straight/N",
+             "asphalt"],
+            ["asphalt", "straight/S", "asphalt", "asphalt", "straight/N",
+             "asphalt"],
+            ["asphalt", "curve_left/S", "straight/E", "straight/E",
+             "curve_left/E", "asphalt"],
+            ["asphalt"] * 6,
+        ],
+        "start_tile": [1, 2],
+    },
+    "loop_empty": {
+        "tile_size": _TS,
+        "tiles": _LOOP_COURSE,
+        "objects": [
+            {"kind": "duckie", "pos": [0.5, 0.5], "rotate": 10, "height": 0.06},
+            {"kind": "duckie", "pos": [0.5, 0.7], "rotate": 10, "height": 0.06},
+            {"kind": "duckie", "pos": [6.5, 0.7], "rotate": 10, "height": 0.06},
+            {"kind": "cone", "pos": [0, 2.5], "rotate": 90, "height": 0.08},
+        ],
+    },
+    "loop_obstacles": {
+        "tile_size": _TS,
+        "tiles": _LOOP_COURSE,
+        "objects": _LOOP_OBSTACLES + [
+            {"kind": "duckie", "pos": [3.0, 6.0], "rotate": 90,
+             "height": 0.08, "static": True},
+        ],
+    },
+    "loop_pedestrians": {
+        "tile_size": _TS,
+        "tiles": _LOOP_COURSE,
+        "objects": _LOOP_OBSTACLES + [
+            {"kind": "duckie", "pos": [3.0, 6.25], "rotate": 90,
+             "height": 0.08, "static": False},
+            {"kind": "duckie", "pos": [4.0, 6.25], "rotate": 90,
+             "height": 0.08, "static": False},
+        ],
+    },
+    "loop_dyn_duckiebots": {
+        "tile_size": _TS,
+        "tiles": _LOOP_COURSE,
+        "objects": _LOOP_OBSTACLES + [
+            {"kind": "duckie", "pos": [3.0, 6.0], "rotate": 90,
+             "height": 0.08, "static": True},
+            {"kind": "duckiebot", "pos": [2.5, 5.75], "rotate": 0,
+             "height": 0.12, "static": False},
+        ],
+    },
+    "4way": {
+        "tile_size": _TS,
+        "tiles": [
+            ["curve_left/W", "straight/W", "3way_left/W", "straight/W",
+             "curve_left/N"],
+            ["straight/S", "asphalt", "straight/N", "asphalt", "straight/N"],
+            ["3way_left/S", "straight/W", "4way", "straight/E",
+             "3way_left/N"],
+            ["straight/S", "asphalt", "straight/S", "asphalt", "straight/N"],
+            ["curve_left/S", "straight/E", "3way_left/E", "straight/E",
+             "curve_left/E"],
+        ],
+        "objects": [
+            {"kind": "trafficlight", "pos": [2.2, 2.2], "rotate": 45,
+             "height": 0.4},
+        ],
+    },
+    "udem1": {
+        "tile_size": _TS,
+        "tiles": [
+            ["floor"] * 8,
+            ["floor", "curve_left/W", "straight/W", "3way_left/W",
+             "straight/W", "straight/W", "curve_left/N", "asphalt"],
+            ["floor", "straight/S", "grass", "straight/N", "asphalt",
+             "asphalt", "straight/N", "asphalt"],
+            ["floor", "3way_left/S", "straight/W", "3way_left/N", "asphalt",
+             "asphalt", "straight/N", "asphalt"],
+            ["floor", "straight/S", "grass", "straight/N", "asphalt",
+             "curve_right/N", "curve_left/E", "asphalt"],
+            ["floor", "curve_left/S", "straight/E", "3way_left/E",
+             "straight/E", "curve_left/E", "asphalt", "asphalt"],
+            ["floor"] * 8,
+        ],
+        "objects": [
+            {"kind": "tree", "pos": [2.5, 4.5], "rotate": 180, "height": 0.25},
+            {"kind": "duckie", "pos": [2.5, 2.9], "rotate": -90, "height": 0.08},
+            {"kind": "sign_stop", "pos": [2.08, 4.05], "rotate": 90,
+             "height": 0.18},
+            {"kind": "sign_left_T_intersect", "pos": [0.94, 3.96],
+             "rotate": 90, "height": 0.18},
+            {"kind": "sign_stop", "pos": [2.08, 2.96], "rotate": -90,
+             "height": 0.18},
+            {"kind": "sign_right_T_intersect", "pos": [0.94, 3.05],
+             "rotate": -90, "height": 0.18},
+            {"kind": "sign_stop", "pos": [0.94, 4.05], "rotate": 0,
+             "height": 0.18},
+            {"kind": "sign_T_intersect", "pos": [0.94, 2.96], "rotate": 0,
+             "height": 0.18},
+            {"kind": "house", "pos": [4.8, 2.6], "rotate": 90, "height": 0.5},
+            {"kind": "truck", "pos": [1.6, 6.3], "rotate": 0, "height": 0.2},
+            {"kind": "bus", "pos": [2.0, 0.5], "rotate": 0, "height": 0.18},
+            {"kind": "bus", "pos": [4, 0.5], "rotate": 0, "height": 0.18},
+            {"kind": "bus", "pos": [6.0, 0.5], "rotate": 0, "height": 0.18},
+            {"kind": "truck", "pos": [7.5, 0.5], "rotate": 180, "height": 0.2},
+        ],
+    },
+    "zigzag_dists": {
+        "tile_size": _TS,
+        "tiles": [
+            ["asphalt"] * 9,
+            ["asphalt", "curve_left/W", "curve_left/N", "asphalt",
+             "curve_left/W", "straight/W", "straight/W", "curve_left/N",
+             "asphalt"],
+            ["asphalt", "straight/S", "curve_right/W", "straight/W",
+             "curve_right/S", "asphalt", "curve_right/N", "curve_left/E",
+             "asphalt"],
+            ["asphalt", "straight/S", "asphalt", "asphalt", "asphalt",
+             "asphalt", "straight/N", "asphalt", "asphalt"],
+            ["asphalt", "straight/S", "asphalt", "asphalt", "curve_right/N",
+             "straight/E", "curve_left/E", "asphalt", "asphalt"],
+            ["asphalt", "straight/S", "asphalt", "curve_right/N",
+             "curve_left/E", "asphalt", "asphalt", "asphalt", "asphalt"],
+            ["asphalt", "straight/S", "asphalt", "straight/N", "asphalt",
+             "asphalt", "asphalt", "asphalt", "asphalt"],
+            ["asphalt", "curve_left/S", "straight/E", "curve_left/E",
+             "asphalt", "asphalt", "asphalt", "asphalt", "asphalt"],
+            ["asphalt"] * 9,
+        ],
+        "objects": [
+            {"kind": "bus", "pos": [1.0, 0.5], "rotate": 10, "height": 0.18},
+            {"kind": "bus", "pos": [2.4, 0.65], "rotate": -10, "height": 0.18},
+            {"kind": "bus", "pos": [4.0, 0.65], "rotate": -5, "height": 0.19},
+            {"kind": "bus", "pos": [6.0, 0.5], "rotate": 0, "height": 0.18},
+            {"kind": "truck", "pos": [7.5, 0.5], "rotate": 180, "height": 0.2},
+            {"kind": "bus", "pos": [8.3, 1.5], "rotate": 90, "height": 0.22},
+            {"kind": "bus", "pos": [8.3, 3.0], "rotate": 95, "height": 0.21},
+            {"kind": "truck", "pos": [0.6, 8.3], "rotate": -30, "height": 0.25},
+            {"kind": "tree", "pos": [2.5, 4.5], "rotate": 180, "height": 0.25},
+            {"kind": "sign_blank", "pos": [5.95, 2.4], "rotate": -20,
+             "height": 0.18},
         ],
     },
     "zigzag": {
-        "tile_size": 0.585,
+        "tile_size": _TS,
         "tiles": [
-            ["curve_left/E", "straight/E", "curve_left/N", "floor", "floor"],
-            ["straight/S", "grass", "curve_right/E", "straight/E", "curve_left/N"],
+            ["curve_left/W", "straight/W", "curve_left/N", "floor", "floor"],
+            ["straight/S", "grass", "curve_right/W", "straight/W",
+             "curve_left/N"],
             ["straight/S", "grass", "grass", "grass", "straight/N"],
-            ["curve_left/S", "straight/W", "straight/W", "straight/W", "curve_left/W"],
+            ["curve_left/S", "straight/E", "straight/E", "straight/E",
+             "curve_left/E"],
         ],
         "objects": [
             {"kind": "duckie", "pos": [2.5, 2.5], "rotate": 90, "height": 0.08},

@@ -37,6 +37,28 @@ CAMERA_FOV_Y = 75.0  # vertical field of view, degrees
 SKY_TOP = np.array([90, 160, 220], np.float32)
 SKY_HORIZON = np.array([180, 210, 235], np.float32)
 
+# horizon variants selected by DR ``horz_mode`` (simulator.py:385-396:
+# blue sky / wall color / dark grey / near-white — grey and white are
+# sampled deliberately because they confuse road/lane-marking colors).
+# (sky top, sky horizon) pairs; mode 0 == legacy blue.
+HORZ_MODES_TOP = np.array([
+    [90, 160, 220], [165, 150, 110], [35, 35, 38], [225, 225, 225],
+], np.float32)
+HORZ_MODES_HORIZON = np.array([
+    [180, 210, 235], [200, 185, 145], [55, 55, 58], [238, 238, 238],
+], np.float32)
+
+# lighting model: far positional light (reference GL_LIGHT0 position was
+# sampled in huge units, randomization config light_pos) -> effectively
+# directional; lambert on the surface normal with a fixed ambient floor.
+# Normalized so the DEFAULT light position renders at intensity 1.0
+# (keeps un-randomized frames identical to pre-lighting renders).
+LIGHT_AMBIENT = 0.35
+LIGHT_DIFFUSE = 0.65
+DEFAULT_LIGHT_POS = np.array([-40.0, 200.0, 100.0], np.float32)
+_LIGHT_NORM = LIGHT_AMBIENT + LIGHT_DIFFUSE * (
+    DEFAULT_LIGHT_POS[1] / np.linalg.norm(DEFAULT_LIGHT_POS))
+
 
 class SceneArrays(NamedTuple):
     """Static device arrays describing one map."""
@@ -91,8 +113,11 @@ def build_scene(m: Map, seed: int = 0) -> SceneArrays:
     objs = []
     mesh_instances = []
     for o in m.objects:
-        color = OBJECT_COLORS.get(o.kind, (150, 150, 150))
-        radius = OBJECT_RADII.get(o.kind, 0.08)
+        # all sign_* variants (sign_stop, sign_T_intersect, ...) share the
+        # generic sign geometry/color
+        okind = "sign" if o.kind.startswith("sign") else o.kind
+        color = OBJECT_COLORS.get(okind, (150, 150, 150))
+        radius = OBJECT_RADII.get(okind, 0.08)
         # duckies/bots/cones on drivable tiles are "obstacles" — their
         # annotated render is pure red (postprocess_v2 r>0 rule)
         annotated = 1.0 if o.kind in ("duckie", "duckiebot", "cone") else 0.0
@@ -101,8 +126,8 @@ def build_scene(m: Map, seed: int = 0) -> SceneArrays:
         mesh = None
         if mesh_path:
             mesh = load_obj(mesh_path)
-        elif o.kind in MESH_KINDS:
-            sx, sy, sz = MESH_KINDS[o.kind]
+        elif okind in MESH_KINDS:
+            sx, sy, sz = MESH_KINDS[okind]
             sy = o.height or sy
             mesh = make_box_mesh(sx, sy, sz, color)
         draw_cyl = 0.0 if mesh is not None else 1.0
@@ -203,22 +228,50 @@ def _rotate_uv(uv, rot):
 
 
 class DRParams(NamedTuple):
-    """Domain-randomization parameters (randomization/randomizer.py analog)."""
-    light_rgb: jax.Array    # (3,) per-channel light scale
-    noise_sigma: jax.Array  # camera gaussian noise sigma (uint8 units)
+    """Domain-randomization parameters, drawn by sim.randomization.Randomizer
+    (the reference's JSON-config DR, randomization/randomizer.py:22-72)."""
+    light_rgb: jax.Array      # (3,) per-channel light scale
+    noise_sigma: jax.Array    # camera gaussian noise sigma (uint8 units)
     horizon_shift: jax.Array  # sky color shift
+    light_pos: jax.Array      # (3,) world light position (far -> directional)
+    horz_mode: jax.Array      # () int32 horizon/sky variant
+    frame_skip: jax.Array     # () int32 physics substeps (consumed by env)
 
     @staticmethod
     def default():
-        return DRParams(jnp.ones(3), jnp.zeros(()), jnp.zeros(()))
+        return DRParams(jnp.ones(3), jnp.zeros(()), jnp.zeros(()),
+                        jnp.asarray(DEFAULT_LIGHT_POS),
+                        jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32))
 
     @staticmethod
-    def sample(key):
-        k1, k2, k3 = jax.random.split(key, 3)
+    def sample(key, randomizer=None):
+        """Draw one episode's params from a Randomizer (default: the
+        reference-schema default_dr config)."""
+        from .randomization import Randomizer
+        r = randomizer if randomizer is not None else Randomizer()
+        return DRParams.from_draws(r.randomize(key))
+
+    @staticmethod
+    def from_draws(d: dict) -> "DRParams":
+        """Build from a Randomizer.randomize()/defaults() draw dict;
+        missing keys fall back to the un-randomized defaults."""
+        base = DRParams.default()
+        get = lambda k, dflt: jnp.asarray(d[k]) if k in d else dflt
         return DRParams(
-            light_rgb=jax.random.uniform(k1, (3,), minval=0.75, maxval=1.15),
-            noise_sigma=jax.random.uniform(k2, (), minval=0.0, maxval=4.0),
-            horizon_shift=jax.random.uniform(k3, (), minval=-25.0, maxval=25.0))
+            light_rgb=jnp.broadcast_to(
+                get("light_scale", base.light_rgb).astype(jnp.float32), (3,)),
+            noise_sigma=get("camera_noise", base.noise_sigma)
+                .astype(jnp.float32).reshape(()),
+            horizon_shift=get("horizon_shift", base.horizon_shift)
+                .astype(jnp.float32).reshape(()),
+            light_pos=jnp.broadcast_to(
+                get("light_pos", base.light_pos).astype(jnp.float32), (3,)),
+            horz_mode=(get("horz_mode", base.horz_mode)
+                       .astype(jnp.int32).reshape(())
+                       % HORZ_MODES_TOP.shape[0]),
+            frame_skip=jnp.maximum(
+                get("frame_skip", base.frame_skip)
+                .astype(jnp.int32).reshape(()), 1))
 
 
 def _grid_lookup(values: jax.Array, tjc: jax.Array, tic: jax.Array):
@@ -281,10 +334,19 @@ def render_frame(scene: SceneArrays, pos: jax.Array, angle: jax.Array,
     ground_rgb = jnp.where(in_grid[..., None], ground_rgb,
                            jnp.asarray([60.0, 70.0, 60.0]))
 
-    # sky: vertical gradient above the horizon
+    # positional light (DR light_pos): far light -> lambert on the ground
+    # normal reduces to L_y/|L|, normalized so the default position is 1.0
+    l_hat = dr.light_pos / (jnp.linalg.norm(dr.light_pos) + 1e-6)
+    ground_light = (LIGHT_AMBIENT
+                    + LIGHT_DIFFUSE * jnp.clip(l_hat[1], 0.0, 1.0)) / _LIGHT_NORM
+    ground_rgb = ground_rgb * ground_light
+
+    # sky: vertical gradient above the horizon; DR horz_mode picks the
+    # colorway (reference horizon-texture swap analog)
     up = jnp.clip(dy, 0.0, 1.0)[..., None]
-    sky = (jnp.asarray(SKY_HORIZON) * (1 - up) + jnp.asarray(SKY_TOP) * up
-           + dr.horizon_shift)
+    sky_top = jnp.asarray(HORZ_MODES_TOP)[dr.horz_mode]
+    sky_horizon = jnp.asarray(HORZ_MODES_HORIZON)[dr.horz_mode]
+    sky = sky_horizon * (1 - up) + sky_top * up + dr.horizon_shift
     rgb = jnp.where(hits_ground[..., None], ground_rgb, sky)
     depth = jnp.where(hits_ground, t, jnp.inf)
 
@@ -315,6 +377,7 @@ def render_frame(scene: SceneArrays, pos: jax.Array, angle: jax.Array,
             # simple vertical shading
             color = jnp.asarray([r, g, b])
         shade = 0.7 + 0.3 * jnp.clip(ylevel / jnp.maximum(h_obj, 1e-3), 0, 1)
+        shade = shade * ground_light  # DR light elevation hits objects too
         new_rgb = jnp.where(valid[..., None], color * shade[..., None], rgb)
         new_depth = jnp.where(valid, tq, depth)
         return (new_rgb, new_depth), None

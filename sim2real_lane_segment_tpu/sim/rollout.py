@@ -78,7 +78,11 @@ def expert_rollout(scene: SceneArrays, lane_arrays, key: jax.Array,
 
 
 def sample_spawns(m, lane_arrays, rng, batch: int):
-    """Host-side spawn sampling near the right-lane center, lane-aligned."""
+    """Host-side spawn sampling near a lane center, lane-aligned.
+
+    Lanes are two-way (reference tiles carry curves for both directions,
+    simulator.py:860-875), so a random heading picks which direction's
+    lane the spawn snaps to."""
     import numpy as np
     drivable = m.drivable_tiles()
     poss, angles = [], []
@@ -87,8 +91,9 @@ def sample_spawns(m, lane_arrays, rng, batch: int):
         ts = m.tile_size
         pos = np.array([(i + rng.uniform(0.15, 0.85)) * ts,
                         (j + rng.uniform(0.15, 0.85)) * ts], np.float32)
+        probe = rng.uniform(0.0, 2 * np.pi)
         lp = jax.device_get(lanes.lane_pos(
-            lane_arrays, ts, jnp.asarray(pos), jnp.asarray(0.0)))
+            lane_arrays, ts, jnp.asarray(pos), jnp.asarray(probe, jnp.float32)))
         if not bool(lp.in_lane) or abs(float(lp.dist)) > 0.15:
             continue
         t = np.asarray(lp.tangent)

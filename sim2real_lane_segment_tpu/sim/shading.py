@@ -21,18 +21,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .textures import (ANNOT_LEFT, ANNOT_RIGHT, CENTER_LINE_W, DASH_DUTY,
-                       DASH_PERIOD, EDGE_LINE_POS, EDGE_LINE_W, FLOOR, GRASS,
-                       ROAD, ROAD_NOISE, WHITE, YELLOW)
+from .textures import (ANNOT_LEFT, ANNOT_RIGHT, CENTER_LINE_W, CORNER_ZONE,
+                       DASH_DUTY, DASH_PERIOD, EDGE_LINE_POS, EDGE_LINE_W,
+                       FLOOR, GRASS, ROAD, ROAD_NOISE, WHITE, YELLOW)
 
-S_ASPHALT, S_GRASS, S_FLOOR, S_STRAIGHT, S_CURVE_L, S_CURVE_R, S_INTER = \
-    0, 1, 2, 3, 4, 5, 6
+(S_ASPHALT, S_GRASS, S_FLOOR, S_STRAIGHT, S_CURVE_L, S_CURVE_R, S_3WAY,
+ S_4WAY) = 0, 1, 2, 3, 4, 5, 6, 7
 
 KIND_TO_SHADE = {
     "asphalt": S_ASPHALT, "grass": S_GRASS, "floor": S_FLOOR,
     "straight": S_STRAIGHT, "curve_left": S_CURVE_L,
     "curve_right": S_CURVE_R,
-    "3way_left": S_INTER, "3way_right": S_INTER, "4way": S_INTER,
+    # 3way_right shares 3way_left's canonical geometry — the reference
+    # gives both the same curve set (simulator.py:909 kind.startswith)
+    "3way_left": S_3WAY, "3way_right": S_3WAY, "4way": S_4WAY,
 }
 
 
@@ -73,8 +75,10 @@ def shade(code: jax.Array, cuv: jax.Array, annotated: bool) -> jax.Array:
     yellow_s = (jnp.abs(u - 0.5) < CENTER_LINE_W / 2) & dash_s
     right_s = u > 0.5
 
-    # ---- curve geometry (annulus around a corner)
-    def curve(cu, cv):
+    # ---- curve geometry (annulus around a corner); the canonical right
+    # lane is the OUTER half on curve_left, the INNER half on curve_right
+    # (textures.curve_masks)
+    def curve(cu, cv, right_outer):
         r = jnp.hypot(u - cu, v - cv)
         road = (r > 0.0) & (r < 1.0)
         white = ((jnp.abs(r - EDGE_LINE_POS - EDGE_LINE_W / 2) < EDGE_LINE_W / 2) |
@@ -82,11 +86,34 @@ def shade(code: jax.Array, cuv: jax.Array, annotated: bool) -> jax.Array:
         theta = jnp.arctan2(v - cv, u - cu)
         dash = (jnp.abs(theta) % 0.4) < 0.2
         yellow = (jnp.abs(r - 0.5) < CENTER_LINE_W / 2) & dash
-        right = r > 0.5
+        right = (r > 0.5) if right_outer else (r < 0.5)
         return road, white, yellow, right
 
-    road_l, white_l, yellow_l, right_l = curve(0.0, 1.0)
-    road_r, white_r, yellow_r, right_r = curve(1.0, 1.0)
+    road_l, white_l, yellow_l, right_l = curve(0.0, 1.0, True)
+    road_r, white_r, yellow_r, right_r = curve(1.0, 1.0, False)
+
+    # ---- intersection geometry (textures.intersection_masks, jnp mirror).
+    # Annotated == base: the reference has no _cv textures for 3way/4way
+    # (falls back to the base texture -> background labels, QUIRKS.md).
+    def edge_band(x, p):
+        return jnp.abs(x - p - EDGE_LINE_W / 2) < EDGE_LINE_W / 2
+
+    zone_v = (v < CORNER_ZONE) | (v > 1 - CORNER_ZONE)
+    zone_u = (u < CORNER_ZONE) | (u > 1 - CORNER_ZONE)
+    w_line = edge_band(u, EDGE_LINE_POS)
+    e_line = edge_band(u, 1 - EDGE_LINE_POS - EDGE_LINE_W)
+    n_line = edge_band(v, EDGE_LINE_POS)
+    s_line = edge_band(v, 1 - EDGE_LINE_POS - EDGE_LINE_W)
+    white_4w = ((w_line | e_line) & zone_v) | ((n_line | s_line) & zone_u)
+    white_3w = (e_line | (w_line & zone_v)
+                | ((n_line | s_line) & (u < CORNER_ZONE)))
+    yellow_3w = (jnp.abs(u - 0.5) < CENTER_LINE_W / 2) & dash_s & zone_v
+
+    def inter_color(white, yellow):
+        c = jnp.where(white[..., None], jnp.asarray(WHITE, jnp.float32),
+                      asphalt)
+        return jnp.where(yellow[..., None], jnp.asarray(YELLOW, jnp.float32),
+                         c)
 
     def road_color(white, yellow, right, road):
         if annotated:
@@ -106,8 +133,8 @@ def shade(code: jax.Array, cuv: jax.Array, annotated: bool) -> jax.Array:
     straight_c = road_color(white_s, yellow_s, right_s, all_road)
     curve_l_c = road_color(white_l, yellow_l, right_l, road_l)
     curve_r_c = road_color(white_r, yellow_r, right_r, road_r)
-    inter_c = road_color(jnp.zeros_like(white_s), jnp.zeros_like(yellow_s),
-                         right_s, all_road)
+    inter_3w = inter_color(white_3w, yellow_3w)
+    inter_4w = inter_color(white_4w, jnp.zeros_like(yellow_3w))
 
     code_e = code[..., None]
     out = jnp.where(code_e == S_GRASS, grass, asphalt)
@@ -115,7 +142,8 @@ def shade(code: jax.Array, cuv: jax.Array, annotated: bool) -> jax.Array:
     out = jnp.where(code_e == S_STRAIGHT, straight_c, out)
     out = jnp.where(code_e == S_CURVE_L, curve_l_c, out)
     out = jnp.where(code_e == S_CURVE_R, curve_r_c, out)
-    out = jnp.where(code_e == S_INTER, inter_c, out)
+    out = jnp.where(code_e == S_3WAY, inter_3w, out)
+    out = jnp.where(code_e == S_4WAY, inter_4w, out)
     return out
 
 

@@ -89,19 +89,44 @@ def curve_masks(flavor: str):
     theta = np.arctan2(v - cv, u - cu)
     dash = (np.abs(theta) % 0.4) < 0.2
     yellow = (np.abs(r - 0.5) < CENTER_LINE_W / 2) & dash
-    # outer half-annulus is the right lane for the canonical direction
-    right = r > 0.5
+    # canonical-direction right lane: OUTER half on curve_left (left turn),
+    # INNER half on curve_right (right turns hug the corner) — matches the
+    # green region of the reference's curve_*_cv textures
+    right = (r > 0.5) if flavor == "left" else (r < 0.5)
     return white, yellow, right, road
 
 
+# corner zone length for intersection edge-line ticks (tile fraction)
+CORNER_ZONE = 0.30
+
+
+def _edge_band(x, pos):
+    return np.abs(x - pos - EDGE_LINE_W / 2) < EDGE_LINE_W / 2
+
+
 def intersection_masks(kind: str):
-    """3way/4way: crossing straight roads, no center annotation masks
-    except the through-lanes."""
+    """3way/4way crossing-road markings (canonical frame).
+
+    4way: white edge-line ticks in the four corner zones only (the
+    crossing roads interrupt every line).  3way (canonical branch WEST,
+    matching lanes.py): continuous east edge line, west-side ticks, and
+    center dashes of the through road outside the branch mouth.
+    """
     u, v = _uv()
-    white = np.zeros_like(u, bool)
-    yellow = np.zeros_like(u, bool)
-    right = u > 0.5  # through direction annotation
-    return white, yellow, right
+    zone_v = (v < CORNER_ZONE) | (v > 1 - CORNER_ZONE)
+    zone_u = (u < CORNER_ZONE) | (u > 1 - CORNER_ZONE)
+    w_line = _edge_band(u, EDGE_LINE_POS)
+    e_line = _edge_band(u, 1 - EDGE_LINE_POS - EDGE_LINE_W)
+    n_line = _edge_band(v, EDGE_LINE_POS)
+    s_line = _edge_band(v, 1 - EDGE_LINE_POS - EDGE_LINE_W)
+    if kind == "4way":
+        white = ((w_line | e_line) & zone_v) | ((n_line | s_line) & zone_u)
+        yellow = np.zeros_like(u, bool)
+    else:  # 3way, branch west
+        white = e_line | (w_line & zone_v) | ((n_line | s_line) & (u < CORNER_ZONE))
+        dash = (v % DASH_PERIOD) < DASH_PERIOD * DASH_DUTY
+        yellow = (np.abs(u - 0.5) < CENTER_LINE_W / 2) & dash & zone_v
+    return white, yellow
 
 
 def make_tile_texture(kind: str, rng: np.random.Generator,
@@ -122,9 +147,16 @@ def make_tile_texture(kind: str, rng: np.random.Generator,
         white, yellow, right, road = curve_masks(kind.split("_")[1])
         # outside the annulus: grass
         tex[~road] = GRASS
-    else:  # intersections
-        white, yellow, right = intersection_masks(kind)
-        road = np.ones((RES, RES), bool)
+    else:
+        # intersections: the reference ships NO _cv/_ccv texture variants
+        # for 3way/4way, and annotated rendering falls back to the base
+        # texture (graphics.py:40-49, simulator.py:1521-1524) — so
+        # intersection pixels diff to zero and label as background.
+        # Reproduce that: annotated variant == base (QUIRKS.md).
+        white, yellow = intersection_masks(kind)
+        tex[white] = WHITE
+        tex[yellow] = YELLOW
+        return tex
 
     if annotated:
         tex[road & right] = ANNOT_RIGHT
@@ -161,5 +193,12 @@ def build_atlas(seed: int = 0) -> tuple[np.ndarray, dict[str, int]]:
 
 
 def rotate_tex_index(orientation: str) -> int:
-    """Number of 90° CCW rotations to apply for a tile orientation."""
-    return {"N": 0, "W": 1, "S": 2, "E": 3}[orientation]
+    """Number of 90° uv rotations for a tile orientation letter.
+
+    Matches the reference's letter semantics (simulator.py:595: the letter
+    is the literal compass drive direction — confirmed by the map-file
+    docs, maps/udem1.yaml header): canonical rot 0 flows north, E flows
+    east, S south, W west.  (Round 1 had E/W swapped; reference YAML maps
+    now load with correct flow.)
+    """
+    return {"N": 0, "E": 1, "S": 2, "W": 3}[orientation]

@@ -1,0 +1,238 @@
+"""Intersection lane geometry + reference orientation-letter gates.
+
+Covers the reference's per-tile curve sets for 3way/4way tiles
+(simulator.py:847-1101) and the map orientation convention
+(simulator.py:595: the letter is the compass drive direction).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sim2real_lane_segment_tpu.sim import lanes, physics
+from sim2real_lane_segment_tpu.sim.maps import builtin_map
+
+NORTH = np.pi / 2          # heading (cos a, -sin a) = (0, -1)
+SOUTH = -np.pi / 2
+EAST = 0.0
+WEST = np.pi
+
+
+def lane_of(m, pos, angle):
+    la = lanes.build_lane_arrays(m)
+    return jax.device_get(lanes.lane_pos(la, m.tile_size,
+                                         jnp.asarray(pos, jnp.float32),
+                                         jnp.asarray(angle, jnp.float32)))
+
+
+# ---------------------------------------------------------------------------
+# orientation letters (reference convention)
+# ---------------------------------------------------------------------------
+
+def test_letter_is_drive_direction():
+    """straight/E must flow east: an eastbound agent on the eastbound lane
+    center (v = 0.75 within the tile) sees dist~0 and dot_dir~1."""
+    m = builtin_map("straight_road")  # 1x36 straight/E, like the reference
+    ts = m.tile_size
+    lp = lane_of(m, [5.5 * ts, 0.75 * ts], EAST)
+    assert bool(lp.in_lane)
+    assert abs(float(lp.dist)) < 1e-4
+    assert float(lp.dot_dir) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_two_way_straight():
+    """Tiles carry lanes for BOTH directions (reference simulator.py:860-875):
+    the westbound lane of a straight/E tile is at v = 0.25."""
+    m = builtin_map("straight_road")
+    ts = m.tile_size
+    lp = lane_of(m, [5.5 * ts, 0.25 * ts], WEST)
+    assert abs(float(lp.dist)) < 1e-4
+    assert float(lp.dot_dir) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_wrong_way_heading_picks_other_lane():
+    """Heading west while ON the eastbound lane: selection snaps to the
+    westbound curve, so dist is large (half a lane off) but dot_dir ~ 1."""
+    m = builtin_map("straight_road")
+    ts = m.tile_size
+    lp = lane_of(m, [5.5 * ts, 0.75 * ts], WEST)
+    assert abs(float(lp.dist)) == pytest.approx(0.5, abs=1e-4)
+    assert float(lp.dot_dir) == pytest.approx(1.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 4way / 3way curve sets
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def m4():
+    return builtin_map("4way")
+
+
+def test_4way_through_lanes(m4):
+    ts = m4.tile_size
+    # center tile (2, 2) is the 4way; through lanes both axes, both ways
+    cases = [
+        ([2.25, 2.5], SOUTH),   # southbound lane x=2.25
+        ([2.75, 2.5], NORTH),   # northbound lane x=2.75
+        ([2.5, 2.75], EAST),    # eastbound lane z=2.75
+        ([2.5, 2.25], WEST),    # westbound lane z=2.25
+    ]
+    for pos_t, ang in cases:
+        lp = lane_of(m4, [pos_t[0] * ts, pos_t[1] * ts], ang)
+        assert bool(lp.in_lane)
+        assert abs(float(lp.dist)) < 1e-4, (pos_t, ang, lp)
+        assert float(lp.dot_dir) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_4way_left_turn_arc(m4):
+    """Mid-left-turn pose on the 4way: the r=0.75 arc is selected when the
+    heading matches the arc chord."""
+    ts = m4.tile_size
+    # left turn from south approach (northbound) toward west: arc around
+    # tile corner (2, 3) in tile units, radius 0.75; midpoint at 45 deg
+    c = np.array([2.0, 3.0])
+    mid = c + 0.75 * np.array([1.0, -1.0]) / np.sqrt(2)
+    # tangent at midpoint for s=+1: (e_v, -e_u)/r -> (-1,-1)/sqrt(2) = NW
+    ang = float(np.arctan2(1.0, -1.0))  # heading (-1,-1)/sqrt2: cos=-s..
+    heading = np.array([np.cos(ang), -np.sin(ang)])
+    np.testing.assert_allclose(heading, [-1 / np.sqrt(2), -1 / np.sqrt(2)],
+                               atol=1e-6)
+    lp = lane_of(m4, mid * ts, ang)
+    assert abs(float(lp.dist)) < 1e-4, lp
+    assert float(lp.dot_dir) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_3way_branch_turns(m4):
+    """3way_left/W at tile (2, 0) of the 4way map: a T whose stem points
+    south (branch = the crossing road into the grid).  Eastbound entry on
+    the through road can turn; through lanes run east-west."""
+    ts = m4.tile_size
+    # through lanes of 3way_left/W (rot 3): flows W canonical -> the
+    # east-west road is the through road: eastbound lane z=0.25+? probe
+    # both e/w through lanes
+    for pos_t, ang in [([2.5, 0.25], WEST), ([2.5, 0.75], EAST)]:
+        lp = lane_of(m4, [pos_t[0] * ts, pos_t[1] * ts], ang)
+        assert bool(lp.in_lane)
+        assert abs(float(lp.dist)) < 1e-4, (pos_t, ang, lp)
+
+
+def test_expert_drives_through_4way(m4):
+    """Integration gate (VERDICT r1 item 3): expert drives straight
+    through the 4-way intersection, staying in lane the whole way."""
+    from sim2real_lane_segment_tpu.sim.expert import expert_action
+    la = lanes.build_lane_arrays(m4)
+    ts = m4.tile_size
+    pos = jnp.asarray([2.25 * ts, 1.5 * ts])   # southbound lane, north of 4way
+    angle = jnp.asarray(SOUTH)
+    max_z = 0.0
+    for _ in range(240):
+        act = expert_action(la, ts, pos, angle)
+        duty = physics.wheel_duty_from_action(act[0], act[1])
+        st = physics.step_pose(physics.AgentState(pos, angle, duty), duty,
+                               dt=1.0 / 30.0)
+        pos, angle = st.pos, st.angle
+        lp = jax.device_get(lanes.lane_pos(la, ts, pos, angle))
+        assert bool(lp.in_lane), f"left lane at {np.asarray(pos) / ts}"
+        assert abs(float(lp.dist)) < 0.3
+        max_z = max(max_z, float(pos[1]) / ts)
+    # crossed the central 4way into row 3+ (the map is a closed network,
+    # so the FINAL position keeps touring — gate on max progress)
+    assert max_z > 3.0, "did not cross the intersection"
+
+
+def test_npc_duckiebot_crosses_4way(m4):
+    """NPC duckiebots use the same lane geometry — one placed before the
+    intersection drives through it."""
+    from sim2real_lane_segment_tpu.sim import npc as npc_mod
+    la = lanes.build_lane_arrays(m4)
+    ts = m4.tile_size
+    bot = npc_mod.DuckiebotNPC(
+        pos=np.array([2.25 * ts, 1.5 * ts], np.float32), angle=SOUTH)
+    max_z = 0.0
+    for _ in range(400):
+        bot.step(la, ts, dt=1.0 / 30.0)
+        max_z = max(max_z, bot.pos[1] / ts)
+    assert max_z > 3.0, f"npc stuck at {bot.pos / ts}"
+
+
+def test_udem1_expert_loop():
+    """udem1-equivalent: expert completes a long run across 3-way
+    intersections without leaving the lane."""
+    from sim2real_lane_segment_tpu.sim.expert import expert_action
+    m = builtin_map("udem1")
+    la = lanes.build_lane_arrays(m)
+    ts = m.tile_size
+    # outer loop, westbound on the top edge heading into 3way_left/W (3,1)
+    pos = jnp.asarray([4.5 * ts, 1.25 * ts])
+    angle = jnp.asarray(WEST)
+    tiles_seen = set()
+    for _ in range(600):
+        act = expert_action(la, ts, pos, angle)
+        duty = physics.wheel_duty_from_action(act[0], act[1])
+        st = physics.step_pose(physics.AgentState(pos, angle, duty), duty,
+                               dt=1.0 / 30.0)
+        pos, angle = st.pos, st.angle
+        lp = jax.device_get(lanes.lane_pos(la, ts, pos, angle))
+        assert bool(lp.in_lane), f"left lane at {np.asarray(pos) / ts}"
+        tiles_seen.add((int(pos[0] / ts), int(pos[1] / ts)))
+    assert len(tiles_seen) >= 4, f"barely moved: {tiles_seen}"
+
+
+@pytest.mark.parametrize("map_name", ["small_loop_cw", "loop_empty", "loop",
+                                      "zigzag_dists"])
+def test_lane_continuity_around_course(map_name):
+    """Expert laps courses containing curve_right tiles with small lane
+    error throughout — catches lane-center discontinuities at tile
+    boundaries (round-1 curve_right had the right lane on the wrong arc)."""
+    from sim2real_lane_segment_tpu.sim.expert import expert_action
+    from sim2real_lane_segment_tpu.sim.rollout import sample_spawns
+    m = builtin_map(map_name)
+    la = lanes.build_lane_arrays(m)
+    ts = m.tile_size
+    pos_b, ang_b = sample_spawns(m, la, np.random.default_rng(1), 1)
+    pos, angle = pos_b[0], ang_b[0]
+    dists = []
+    for _ in range(400):
+        act = expert_action(la, ts, pos, angle)
+        duty = physics.wheel_duty_from_action(act[0], act[1])
+        st = physics.step_pose(physics.AgentState(pos, angle, duty), duty,
+                               dt=1.0 / 30.0)
+        pos, angle = st.pos, st.angle
+        lp = jax.device_get(lanes.lane_pos(la, ts, pos, angle))
+        assert bool(lp.in_lane), f"{map_name}: left lane at {np.asarray(pos) / ts}"
+        dists.append(abs(float(lp.dist)))
+    assert np.mean(dists) < 0.12, f"{map_name}: mean |dist| {np.mean(dists)}"
+    assert np.max(dists) < 0.4, f"{map_name}: max |dist| {np.max(dists)}"
+
+
+# ---------------------------------------------------------------------------
+# intersections are unannotated (reference texture-fallback parity)
+# ---------------------------------------------------------------------------
+
+def test_intersection_annotated_equals_base():
+    """The reference has no _cv/_ccv textures for 3way/4way — annotated
+    mode falls back to the base texture (graphics.py:40-49), so
+    intersections label as background.  The procedural shader must do the
+    same."""
+    from sim2real_lane_segment_tpu.sim.shading import S_3WAY, S_4WAY, shade
+    u, v = np.meshgrid(np.linspace(0.01, 0.99, 32),
+                       np.linspace(0.01, 0.99, 32))
+    cuv = jnp.asarray(np.stack([u, v], -1), jnp.float32)
+    for code_val in (S_3WAY, S_4WAY):
+        code = jnp.full((32, 32), code_val, jnp.int32)
+        base = np.asarray(shade(code, cuv, annotated=False))
+        annot = np.asarray(shade(code, cuv, annotated=True))
+        np.testing.assert_array_equal(base, annot)
+
+
+def test_straight_annotated_differs():
+    from sim2real_lane_segment_tpu.sim.shading import S_STRAIGHT, shade
+    u, v = np.meshgrid(np.linspace(0.01, 0.99, 32),
+                       np.linspace(0.01, 0.99, 32))
+    cuv = jnp.asarray(np.stack([u, v], -1), jnp.float32)
+    code = jnp.full((32, 32), S_STRAIGHT, jnp.int32)
+    base = np.asarray(shade(code, cuv, annotated=False))
+    annot = np.asarray(shade(code, cuv, annotated=True))
+    assert np.abs(base.astype(int) - annot.astype(int)).max() > 50
