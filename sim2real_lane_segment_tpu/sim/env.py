@@ -49,7 +49,12 @@ class Simulator:
                  frame_skip: int = 1, max_steps: int = 1500,
                  domain_rand: bool = True, annotated: int = 0,
                  distortion: bool = False, map_obj: Map | None = None,
-                 accept_start_angle_deg: float = 60.0):
+                 accept_start_angle_deg: float = 60.0,
+                 randomization_config_fp: str | None = None,
+                 default_config_fp: str | None = None):
+        from .randomization import Randomizer
+        self.randomizer = Randomizer(randomization_config_fp,
+                                     default_config_fp)
         self.map = map_obj if map_obj is not None else builtin_map(map_name)
         self.scene = render.build_scene(self.map, seed)
         self.lane_arrays = lanes.build_lane_arrays(self.map)
@@ -122,9 +127,14 @@ class Simulator:
 
     def reset(self):
         if self.domain_rand:
-            self.dr = render.DRParams.sample(self._next_key())
+            self.dr = render.DRParams.sample(self._next_key(),
+                                             self.randomizer)
         else:
-            self.dr = render.DRParams.default()
+            self.dr = render.DRParams.from_draws(self.randomizer.defaults())
+        # fresh per-episode camera-noise stream (folded with step_count per
+        # frame); orig/annot pairs stay aligned because both renders of a
+        # step share the same folded key
+        self._noise_base = self._next_key()
 
         drivable = self.map.drivable_tiles()
         if not drivable:
@@ -137,7 +147,9 @@ class Simulator:
             ts = self.map.tile_size
             pos = np.array([(i + self.rng.uniform(0.2, 0.8)) * ts,
                             (j + self.rng.uniform(0.2, 0.8)) * ts], np.float32)
-            lp = self._lane_pos(pos, 0.0)
+            # lanes are two-way: a random probe heading picks which
+            # direction's lane curve the spawn aligns to
+            lp = self._lane_pos(pos, self.rng.uniform(0.0, 2 * np.pi))
             if not bool(lp.in_lane):
                 continue
             # face along the lane tangent ± accept angle
@@ -183,7 +195,10 @@ class Simulator:
 
     def step(self, action):
         action = np.clip(np.asarray(action, np.float32), -1, 1)
-        for _ in range(self.frame_skip):
+        # under domain randomization the DR draw REPLACES the configured
+        # frame skip (reference simulator.py:1363-1369)
+        skip = int(self.dr.frame_skip) if self.domain_rand else self.frame_skip
+        for _ in range(skip):
             self.update_physics(action)
         self._step_npcs()
         self.step_count += 1
@@ -212,14 +227,14 @@ class Simulator:
         ann = self.annotated if annotated is None else annotated
         frame = render.render_frame(
             self.scene, jnp.asarray(self.cur_pos), jnp.asarray(self.cur_angle),
-            self.dr, jax.random.fold_in(jax.random.key(0), self.step_count),
+            self.dr, jax.random.fold_in(self._noise_base, self.step_count),
             height=self.camera_height, width=self.camera_width,
             annotated=bool(ann), distortion=self.distortion)
         return np.asarray(frame)
 
     def render_pair(self) -> tuple[np.ndarray, np.ndarray]:
         """Pixel-aligned (orig, annotated) frames at the current pose."""
-        key = jax.random.fold_in(jax.random.key(0), self.step_count)
+        key = jax.random.fold_in(self._noise_base, self.step_count)
         orig, annot = render.render_pair(
             self.scene, jnp.asarray(self.cur_pos), jnp.asarray(self.cur_angle),
             self.dr, key, height=self.camera_height, width=self.camera_width,

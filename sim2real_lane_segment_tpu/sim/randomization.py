@@ -5,9 +5,13 @@ The reference's ``Randomizer`` drew int/uniform/normal samples per config
 key each episode (randomizer.py:22-72, config/default_dr.json keys:
 horz_mode, light_pos, camera_noise, frame_skip).  Here the same config
 schema drives a key-split JAX sampler so randomization composes with the
-batched on-device rollouts.
+batched on-device rollouts.  Consumed by ``render.DRParams.sample`` /
+``from_draws`` (light_pos -> positional lighting, horz_mode -> sky
+colorway, frame_skip -> env.step physics substeps) — a config-file change
+visibly alters rendered frames.
 
-Config entry schema (same as the reference JSONs):
+Config entry schema (same as the reference JSONs; "int" high is
+EXCLUSIVE, numpy randint semantics like the reference):
   {"<name>": {"type": "int"|"uniform"|"normal", "low": .., "high": ..,
               "loc": .., "scale": .., "size": N}}
 """
@@ -72,8 +76,11 @@ def _draw(key: jax.Array, spec: dict[str, Any]) -> jax.Array:
     size = spec.get("size", 1)
     shape = (size,) if size > 1 else ()
     if kind == "int":
+        # exclusive high, matching the reference's np.random.randint
+        # (randomizer.py:41) — note its default_dr frame_skip (1, 2)
+        # therefore ALWAYS draws 1 (QUIRKS.md)
         return jax.random.randint(key, shape, int(spec["low"]),
-                                  int(spec["high"]) + 1)
+                                  int(spec["high"]))
     if kind == "uniform":
         low = jnp.asarray(spec["low"], jnp.float32)
         high = jnp.asarray(spec["high"], jnp.float32)
