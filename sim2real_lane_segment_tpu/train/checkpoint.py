@@ -1,9 +1,16 @@
-"""Checkpointing: orbax for full train state, msgpack for bare weights.
+"""Checkpointing: orbax CheckpointManager for train state, msgpack for
+bare weights.
 
 Capability parity with the reference's two formats (ModelCheckpoint .ckpt
 on best val_iou, train.py:39-44; bare ``best_weights.pt`` state dict,
 train.py:73-75) plus a torch→flax import bridge for reference-trained
 weights (models/torch_import.py).
+
+``TrainCheckpointManager`` wraps ``orbax.checkpoint.CheckpointManager``
+with async writes, retention (``max_to_keep``) and monitor-max-``val_iou``
+best-step tracking.  ``load_checkpoint`` also still reads the legacy
+round-1 msgpack layout (``best.msgpack`` + ``best.json``) so older runs
+stay resumable.
 """
 from __future__ import annotations
 
@@ -23,23 +30,96 @@ def _state_dict(state) -> dict:
     return d
 
 
+class TrainCheckpointManager:
+    """Async orbax manager keyed on epoch, keeping the best-``monitor`` k."""
+
+    def __init__(self, ckpt_dir: str, *, max_to_keep: int = 1,
+                 monitor: str = "val_iou", mode: str = "max",
+                 use_async: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.monitor = monitor
+        opts = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=lambda m: m.get(monitor, float("-inf")),
+            best_mode=mode,
+            enable_async_checkpointing=use_async)
+        self._mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir),
+                                          options=opts)
+
+    def save(self, epoch: int, state, *, metrics: dict | None = None,
+             hparams: dict | None = None) -> None:
+        ocp = self._ocp
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        meta = {"epoch": int(epoch), "metrics": metrics,
+                "hparams": hparams or {}}
+        self._mgr.save(
+            int(epoch),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(jax.device_get(_state_dict(state))),
+                meta=ocp.args.JsonSave(meta)),
+            metrics=metrics)
+
+    def restore(self, template_state, step: int | None = None):
+        ocp = self._ocp
+        if step is None:
+            step = self._mgr.best_step()
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoints in manager directory")
+        restored = self._mgr.restore(
+            int(step),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(
+                    jax.device_get(_state_dict(template_state))),
+                meta=ocp.args.JsonRestore()))
+        state = template_state.replace(
+            **{k: restored["state"][k] for k in restored["state"]
+               if hasattr(template_state, k)})
+        return state, dict(restored["meta"] or {})
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _is_orbax_dir(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    return any(name.isdigit() for name in os.listdir(path))
+
+
 def save_checkpoint(ckpt_dir: str, state, epoch: int, *,
                     metrics: dict | None = None,
                     hparams: dict | None = None) -> str:
-    """Save a full training checkpoint (msgpack tree + JSON metadata)."""
-    os.makedirs(ckpt_dir, exist_ok=True)
-    path = os.path.join(ckpt_dir, "best.msgpack")
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(_state_dict(state))))
-    meta = {"epoch": epoch, "metrics": metrics or {}, "hparams": hparams or {}}
-    with open(os.path.join(ckpt_dir, "best.json"), "w") as f:
-        json.dump(meta, f, indent=2)
-    return path
+    """One-shot save through a fresh manager (sync); returns the dir."""
+    with TrainCheckpointManager(ckpt_dir, use_async=False) as mgr:
+        mgr.save(epoch, state, metrics=metrics, hparams=hparams)
+    return ckpt_dir
 
 
 def load_checkpoint(ckpt_dir_or_file: str, template_state) -> tuple[Any, dict]:
-    """Restore into the structure of ``template_state``; returns (state, meta)."""
+    """Restore into the structure of ``template_state``.
+
+    Accepts an orbax manager directory (best step restored), a legacy
+    round-1 msgpack directory, or a bare msgpack file.
+    """
     path = ckpt_dir_or_file
+    if _is_orbax_dir(path):
+        with TrainCheckpointManager(path, use_async=False) as mgr:
+            return mgr.restore(template_state)
+    # legacy layout: <dir>/best.msgpack + best.json
     if os.path.isdir(path):
         path = os.path.join(path, "best.msgpack")
     with open(path, "rb") as f:

@@ -3,8 +3,9 @@
 Mirrors the reference driver semantics (train.py:39-75): per-epoch
 validation on val_loss/acc/dice/iou, checkpoint the single best model on
 max ``val_iou``, run the test pass at the end, and save final weights.
-Checkpointing uses orbax; metrics go to stdout + an optional tensorboardX
-writer + a JSONL history file.
+Checkpointing uses an async orbax CheckpointManager (retention k=1,
+monitor-max-val_iou — checkpoint.TrainCheckpointManager); metrics go to
+stdout + an optional tensorboardX writer + a JSONL history file.
 """
 from __future__ import annotations
 
@@ -19,7 +20,7 @@ import numpy as np
 
 from ..data.prefetch import background_batches
 from ..ops.metrics import summarize_weighted
-from .checkpoint import save_checkpoint, save_weights
+from .checkpoint import TrainCheckpointManager, save_weights
 
 log = logging.getLogger(__name__)
 
@@ -68,6 +69,7 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
     key = jax.random.key(seed)
     best_iou, best_state = -1.0, state
     global_step = 0
+    ckpt_mgr = TrainCheckpointManager(os.path.join(out_dir, "checkpoints"))
 
     if train_step_fn is None:
         def train_step_fn(state, batch, key, epoch):
@@ -97,13 +99,14 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
             # host snapshot: train_step donates its input state, so keeping
             # a device alias here would be invalidated next epoch
             best_iou, best_state = val["iou"], jax.device_get(state)
-            save_checkpoint(os.path.join(out_dir, "checkpoints"),
-                            best_state, epoch,
-                            metrics={"val_iou": val["iou"]},
-                            hparams={"lr": trainer.lr, "decay": trainer.decay,
-                                     "lrRatio": trainer.lr_ratio,
-                                     "num_cls": trainer.num_cls})
+            # async orbax save overlaps the next epoch's compute
+            ckpt_mgr.save(epoch, best_state,
+                          metrics={"val_iou": val["iou"]},
+                          hparams={"lr": trainer.lr, "decay": trainer.decay,
+                                   "lrRatio": trainer.lr_ratio,
+                                   "num_cls": trainer.num_cls})
 
+    ckpt_mgr.close()
     test = run_eval(trainer.eval_step, best_state, data.test_batches())
     logger.log(global_step, {f"test/{k}": v for k, v in test.items()})
     log.info("test: %s", test)

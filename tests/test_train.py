@@ -200,13 +200,16 @@ def test_fit_loop_end_to_end(tmp_path, rng):
     best_state, best_iou, _ = fit(tr, state, dm, max_epochs=2,
                                   out_dir=out_dir, log_every=1)
     assert best_iou >= 0
-    assert os.path.exists(os.path.join(out_dir, "checkpoints", "best.msgpack"))
+    # orbax manager layout: <dir>/<epoch step>/ with retention k=1
+    ckpt_root = os.path.join(out_dir, "checkpoints")
+    steps = [d for d in os.listdir(ckpt_root) if d.isdigit()]
+    assert len(steps) == 1, steps
     assert os.path.exists(os.path.join(out_dir, "best_weights.msgpack"))
     assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
 
-    # round-trip the checkpoint
+    # round-trip the checkpoint (best step restored)
     fresh = tr.init_state(jax.random.key(7))
-    restored, meta = ckpt.load_checkpoint(os.path.join(out_dir, "checkpoints"), fresh)
+    restored, meta = ckpt.load_checkpoint(ckpt_root, fresh)
     a = jax.tree_util.tree_leaves(best_state.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
