@@ -11,11 +11,18 @@ the reference packed 0.5 GPU/trial), so trials run as a native
 successive-halving schedule on this host's devices; multi-host sweeps
 shard trials by ``jax.process_index()``.  Per-trial checkpoint/resume
 state lives under the trial directory, mirroring
-TuneReportCheckpointCallback behavior.
+TuneReportCheckpointCallback behavior.  ``--search tpe`` (default) uses
+the sequential TPE proposer (train/bayesopt.py) in place of Ray's
+BayesOptSearch: first-rung trials are proposed one at a time from the
+observations so far; ``--search random`` reproduces plain sampling.
 
-Note: the reference hardcoded NUM_CLS=3 here vs 4 everywhere else
-(tune.py:19, a flagged quirk) — this CLI defaults to 4 and exposes
-``--num_cls``.
+Notes on quirks (QUIRKS.md): the reference hardcoded NUM_CLS=3 here vs
+4 everywhere else (tune.py:19) — this CLI defaults to 4 and exposes
+``--num_cls``.  And the ``log_lrRatio`` dimension is a NO-OP for MME
+(both here and in the reference): MME hardcodes eta_min = lr*1e-3
+(train/mme.py lrs_at; reference MMETrainingModule.py:21-22) while the
+sweep still samples lrRatio (reference tune.py:65).  The dimension is
+kept for search-space parity and documented instead of dropped.
 """
 from __future__ import annotations
 
@@ -32,12 +39,17 @@ from . import common
 log = logging.getLogger(__name__)
 
 
+# the reference's search space (tune.py:63-67)
+SEARCH_SPACE = {
+    "log_lr": (-4.0, -2.0),
+    "log_lrRatio": (-3.0, 0.0),
+    "log_decay": (-8.0, -1.0),
+}
+
+
 def sample_config(rng: np.random.Generator) -> dict:
-    return {
-        "log_lr": float(rng.uniform(-4, -2)),
-        "log_lrRatio": float(rng.uniform(-3, 0)),
-        "log_decay": float(rng.uniform(-8, -1)),
-    }
+    return {k: float(rng.uniform(lo, hi))
+            for k, (lo, hi) in SEARCH_SPACE.items()}
 
 
 def run_trial(config: dict, data, *, num_cls: int, epochs_from: int,
@@ -88,6 +100,9 @@ def main(args=None) -> dict:
     p.add_argument("--num_cls", type=int, default=4)
     p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite", "encdec"], default="67")
     p.add_argument("--out_dir", type=str, default="tune_minimax_segmenter")
+    p.add_argument("--search", choices=["tpe", "random"], default="tpe",
+                   help="first-rung config proposer (reference used "
+                        "BayesOptSearch; tpe is the native equivalent)")
     common.add_data_args(p)
     common.add_model_args(p)
     args = p.parse_args(args)
@@ -96,13 +111,17 @@ def main(args=None) -> dict:
     from ..data.modules import TwoDomainMMEDataModule
 
     seed = 42 if args.reproducible else 0
-    rng = np.random.default_rng(seed)
 
     data = TwoDomainMMEDataModule(data_path=args.dataPath,
                                   batch_size=args.batch_size, seed=seed)
     data.setup()
 
-    trials = [{"id": i, "config": sample_config(rng), "state": None,
+    from ..train.bayesopt import make_proposer
+    proposer = make_proposer(args.search, SEARCH_SPACE, seed=seed)
+
+    # configs are proposed lazily at the first rung so TPE can condition
+    # on every earlier trial's result (sequential model-based search)
+    trials = [{"id": i, "config": None, "state": None,
                "epoch": 0, "best_iou": -1.0, "alive": True}
               for i in range(args.num_samples)]
 
@@ -128,12 +147,16 @@ def main(args=None) -> dict:
         alive = [t for t in trials if t["alive"]]
         log.info("rung %d -> %d epochs: %d trials", prev_rung, rung, len(alive))
         for t in alive:
+            if t["config"] is None:
+                t["config"] = proposer.propose()
             tdir = os.path.join(args.out_dir, f"trial_{t['id']:03d}")
             t["state"], best = run_trial(
                 t["config"], data, num_cls=args.num_cls,
                 epochs_from=t["epoch"], epochs_to=rung, out_dir=tdir,
                 seed=seed + t["id"], augment=True, state=t["state"],
                 arch=args.arch, height=args.height, width=args.width)
+            if t["epoch"] == 0:
+                proposer.observe(t["config"], best)
             t["epoch"] = rung
             t["best_iou"] = max(t["best_iou"], best)
             log.info("trial %d @%d epochs: best mean_iou %.3f",
