@@ -46,6 +46,13 @@ def explode(video_path: str, frames_dir: str, counter: int) -> int:
     return counter
 
 
+# the 78-entry manifest of real Duckietown drive videos the reference
+# shipped (rightLaneNetwork/utils/realVideoURLs.txt) — packaged so the
+# CLI finds its default manifest without any checkout-relative path
+DEFAULT_URL_FILE = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                "data", "assets", "realVideoURLs.txt")
+
+
 def main(args=None) -> dict:
     common.setup_logging()
     p = argparse.ArgumentParser(description=__doc__)
@@ -54,13 +61,25 @@ def main(args=None) -> dict:
     p.add_argument("--explode", action="store_true",
                    help="Explode downloaded videos into PNG frames")
     p.add_argument("--framesPath", type=str, default="./realFrames")
+    p.add_argument("--imitate", action="store_true",
+                   help="Dry-run: list what would be downloaded, no "
+                        "network, no writes (createRealDB.py-style smoke)")
     args = p.parse_args(args)
 
-    os.makedirs(args.outputPath, exist_ok=True)
     urls = []
-    if os.path.exists(args.urlFile):
-        with open(args.urlFile) as f:
+    url_file = args.urlFile if os.path.exists(args.urlFile) \
+        else DEFAULT_URL_FILE
+    if os.path.exists(url_file):
+        with open(url_file) as f:
             urls = [u.strip() for u in f if u.strip()]
+
+    if args.imitate:
+        for u in urls[:5]:
+            log.info("would download %s", u)
+        log.info("imitate: %d urls from %s", len(urls), url_file)
+        return {"videos": 0, "frames": 0, "urls": len(urls)}
+
+    os.makedirs(args.outputPath, exist_ok=True)
 
     videos = []
     for url in urls:

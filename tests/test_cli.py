@@ -122,3 +122,15 @@ def test_create_real_db_cli(tmp_path, rng):
     create_real_db.main(["--imgPath", str(raw), "--targetPath", out2,
                          "--imitate"])
     assert not os.path.exists(out2)
+
+
+def test_get_real_data_imitate_zero_egress(tmp_path, monkeypatch):
+    """The packaged 78-URL manifest (reference utils/realVideoURLs.txt) is
+    found by default and --imitate runs with no network and no writes."""
+    from sim2real_lane_segment_tpu.cli import get_real_data
+
+    monkeypatch.chdir(tmp_path)
+    out = get_real_data.main(["--imitate"])
+    assert out["urls"] == 78
+    assert out["videos"] == 0
+    assert not os.path.exists(tmp_path / "realVideos")
