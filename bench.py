@@ -8,9 +8,10 @@ inference, makeDemoVideo.py:15-47).
 Measures the framework's SERVING model, LaneNetLite — the distilled
 student that matches/beats the FCDenseNet67 teacher's IoU (teacher 86.5
 vs student 88.2 test IoU on generated sim data, RESULTS.md) at ~30x its
-speed.  Set BENCH_MODEL=fcdensenet67 to measure the teacher instead
-(1 525 fps measured; its dense-concat topology moves ~1.7 GB HBM per
-frame and cannot reach 10k fps on a v5e at any utilization).
+speed.  Set BENCH_MODEL=fcdensenet67 to measure the teacher instead,
+served through the segment-wise forward (models/tiramisu_fast.py) that
+eliminates the dense-concat HBM re-materialization (1 525 fps with the
+standard forward in round 1).
 """
 from __future__ import annotations
 
@@ -37,18 +38,22 @@ def main() -> None:
     which = os.environ.get("BENCH_MODEL", "lanenet_lite")
     if which == "fcdensenet67":
         from sim2real_lane_segment_tpu.models.tiramisu import fcdensenet67
+        from sim2real_lane_segment_tpu.models.tiramisu_fast import fast_apply
         model = fcdensenet67(4, policy=DEFAULT_POLICY)
+        forward = lambda variables, x: fast_apply(model, variables, x,
+                                                  use_softmax=False)
     else:
         from sim2real_lane_segment_tpu.models.lanenet_lite import LaneNetLite
         model = LaneNetLite(n_classes=4, policy=DEFAULT_POLICY)
+        forward = lambda variables, x: model.apply(variables, x, train=False,
+                                                   use_softmax=False)
     variables = jax.jit(model.init)(jax.random.key(0),
                                     jnp.zeros((1, 120, 160, 3), jnp.float32))
 
     @jax.jit
     def infer(images_u8):
         x, _ = eval_batch(images_u8, None, cfg, with_labels=False)
-        out = model.apply(variables, x, train=False, use_softmax=False)
-        return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+        return jnp.argmax(forward(variables, x), axis=-1).astype(jnp.uint8)
 
     batch = 256
     frames_host = np.random.default_rng(0).integers(
