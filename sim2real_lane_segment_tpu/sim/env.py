@@ -56,7 +56,8 @@ class Simulator:
         self.randomizer = Randomizer(randomization_config_fp,
                                      default_config_fp)
         self.map = map_obj if map_obj is not None else builtin_map(map_name)
-        self.scene = render.build_scene(self.map, seed)
+        self.scene, self._mesh_layout = render.build_scene(
+            self.map, seed, with_layout=True)
         self.lane_arrays = lanes.build_lane_arrays(self.map)
         self.camera_width = camera_width
         self.camera_height = camera_height
@@ -104,6 +105,20 @@ class Simulator:
             self.npcs, np.asarray(self.scene.objects), self.lane_arrays,
             self.map.tile_size)
         self.scene = self.scene._replace(objects=jnp.asarray(new_objects))
+        # dynamic duckiebots also own mesh triangles — re-place them at
+        # the NPC's new pose so the rendered mesh moves with the object
+        moved = [n for n in self.npcs
+                 if isinstance(n, npc_mod.DuckiebotNPC)
+                 and n.obj_index in self._mesh_layout]
+        if moved:
+            from .objmesh import place_mesh
+            verts = np.array(self.scene.meshes.vertices)
+            for n in moved:
+                start, count, mesh, _ = self._mesh_layout[n.obj_index]
+                verts[start:start + count] = place_mesh(
+                    mesh, n.pos, np.degrees(n.angle))
+            self.scene = self.scene._replace(
+                meshes=self.scene.meshes._replace(vertices=jnp.asarray(verts)))
 
     # -- helpers ------------------------------------------------------------
 

@@ -1,20 +1,22 @@
 """OBJ/MTL mesh loading + ray-triangle rendering (reference objmesh.py).
 
 The reference loaded OBJ meshes with per-material chunked vertex lists
-and rendered them through OpenGL display lists (objmesh.py:9-302, with an
-``annotated`` texture swap for the duckiebot mesh).  Here:
+and textures, rendered through OpenGL display lists, with an annotated
+texture swap for the duckiebot mesh (objmesh.py:9-302, :289-302).  Here:
 
-- ``load_obj`` parses OBJ (v/f, negative indices, fan-triangulated
-  polygons) and MTL diffuse colors into flat triangle arrays;
+- ``load_obj`` parses OBJ (v/vt/f, negative indices, fan-triangulated
+  polygons) and MTL diffuse colors **and ``map_Kd`` textures** into flat
+  per-triangle arrays;
 - ``MeshSet`` packs every mesh instance in a scene into one
-  (T, 3, 3) vertex tensor + (T, 3) colors + (T,) annotated flags;
-- the renderer composites meshes with a Möller–Trumbore ray-triangle
-  test vectorized over all pixels and scanned over triangles — ~30 flops
-  per pixel-triangle, so a few hundred triangles cost ~1 GFLOP/frame:
-  trivially VPU-feasible and entirely gather-free.
-
-Like every other object, annotated renders paint obstacle meshes pure
-red so the label extractor classifies them (class 3).
+  (T, 3, 3) vertex tensor + per-triangle colors, UVs and texture ids,
+  plus a stacked texture atlas;
+- the renderer composites meshes in two phases: a Möller–Trumbore scan
+  over triangles tracking only the nearest hit (index + barycentrics —
+  pure VPU math, no per-triangle color writes), then a single shading
+  pass that interpolates UVs and does ONE texture gather per pixel.
+  Annotated mode swaps each triangle's texture id for its annotated
+  texture (the reference's duckiebot_cv swap) or paints flat obstacle
+  red when no annotated texture exists.
 """
 from __future__ import annotations
 
@@ -26,11 +28,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+TEX_RES = 64  # all mesh textures are resampled to this resolution
+
 
 @dataclasses.dataclass
 class ObjMesh:
     vertices: np.ndarray   # (T, 3, 3) float32 triangles (object space)
     colors: np.ndarray     # (T, 3) float32 per-triangle diffuse RGB 0..255
+    uvs: np.ndarray        # (T, 3, 2) float32 texture coords (0 when flat)
+    tex_ids: np.ndarray    # (T,) int32 index into ``textures``; -1 = flat
+    textures: list         # list of (TEX_RES, TEX_RES, 3) uint8 RGB
+    annot_textures: list | None = None  # same length; None entries = flat red
 
     @property
     def num_triangles(self) -> int:
@@ -40,10 +48,21 @@ class ObjMesh:
 _cache: dict[str, ObjMesh] = {}
 
 
-def load_mtl(path: str) -> dict[str, np.ndarray]:
+def _load_texture_image(path: str) -> np.ndarray | None:
+    import cv2
+    img = cv2.imread(path)
+    if img is None:
+        return None
+    img = cv2.resize(img, (TEX_RES, TEX_RES), interpolation=cv2.INTER_AREA)
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def load_mtl(path: str) -> dict[str, dict]:
+    """name -> {'Kd': rgb 0..255, 'map_Kd': image path or None}"""
     mats, cur = {}, None
     if not os.path.exists(path):
         return mats
+    base = os.path.dirname(path)
     with open(path) as f:
         for line in f:
             parts = line.split()
@@ -51,22 +70,33 @@ def load_mtl(path: str) -> dict[str, np.ndarray]:
                 continue
             if parts[0] == "newmtl":
                 cur = parts[1]
+                mats[cur] = {"Kd": np.asarray([150.0, 150.0, 150.0]),
+                             "map_Kd": None}
             elif parts[0] == "Kd" and cur:
-                mats[cur] = np.asarray([float(x) for x in parts[1:4]]) * 255.0
+                mats[cur]["Kd"] = np.asarray(
+                    [float(x) for x in parts[1:4]]) * 255.0
+            elif parts[0] == "map_Kd" and cur:
+                mats[cur]["map_Kd"] = os.path.join(base, parts[-1])
     return mats
 
 
 def load_obj(path: str, default_color=(150.0, 150.0, 150.0)) -> ObjMesh:
-    """Parse an OBJ file (with optional sibling MTL) into triangle arrays.
-    Results are cached per path like the reference's mesh cache
-    (objmesh.py:17-32)."""
+    """Parse an OBJ file (with optional sibling MTL incl. map_Kd textures)
+    into triangle arrays.  Results are cached per path like the
+    reference's mesh cache (objmesh.py:17-32)."""
     if path in _cache:
         return _cache[path]
     verts: list = []
+    vts: list = []
     tris: list = []
+    tri_uv: list = []
     cols: list = []
+    tex_of_tri: list = []
     mats: dict = {}
+    textures: list = []
+    tex_index: dict[str, int] = {}
     color = np.asarray(default_color, np.float64)
+    cur_tex = -1
     with open(path) as f:
         for line in f:
             parts = line.split()
@@ -75,23 +105,56 @@ def load_obj(path: str, default_color=(150.0, 150.0, 150.0)) -> ObjMesh:
             if parts[0] == "mtllib":
                 mats = load_mtl(os.path.join(os.path.dirname(path), parts[1]))
             elif parts[0] == "usemtl":
-                color = mats.get(parts[1], np.asarray(default_color))
+                m = mats.get(parts[1])
+                color = m["Kd"] if m else np.asarray(default_color)
+                cur_tex = -1
+                if m and m["map_Kd"]:
+                    tp = m["map_Kd"]
+                    if tp not in tex_index:
+                        img = _load_texture_image(tp)
+                        if img is not None:
+                            tex_index[tp] = len(textures)
+                            textures.append(img)
+                        else:
+                            tex_index[tp] = -1
+                    cur_tex = tex_index[tp]
             elif parts[0] == "v":
                 verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vt":
+                vts.append([float(parts[1]), float(parts[2])])
             elif parts[0] == "f":
-                idx = []
+                idx, uvx = [], []
                 for tok in parts[1:]:
-                    i = int(tok.split("/")[0])
+                    comps = tok.split("/")
+                    i = int(comps[0])
                     idx.append(i - 1 if i > 0 else len(verts) + i)
+                    if len(comps) > 1 and comps[1]:
+                        j = int(comps[1])
+                        uvx.append(j - 1 if j > 0 else len(vts) + j)
+                    else:
+                        uvx.append(-1)
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     tris.append((idx[0], idx[k], idx[k + 1]))
+                    tri_uv.append((uvx[0], uvx[k], uvx[k + 1]))
                     cols.append(color)
+                    tex_of_tri.append(cur_tex if uvx[0] >= 0 else -1)
     v = np.asarray(verts, np.float32)
+    vt = np.asarray(vts, np.float32) if vts else np.zeros((1, 2), np.float32)
+    if tris:
+        vertices = v[np.asarray(tris, np.int32)]
+        uv_idx = np.asarray(tri_uv, np.int32)
+        uvs = np.where((uv_idx >= 0)[..., None], vt[np.maximum(uv_idx, 0)], 0.0)
+    else:
+        vertices = np.zeros((0, 3, 3), np.float32)
+        uvs = np.zeros((0, 3, 2), np.float32)
     mesh = ObjMesh(
-        vertices=v[np.asarray(tris, np.int32)] if tris else
-        np.zeros((0, 3, 3), np.float32),
+        vertices=vertices,
         colors=np.asarray(cols, np.float32) if cols else
-        np.zeros((0, 3), np.float32))
+        np.zeros((0, 3), np.float32),
+        uvs=uvs.astype(np.float32),
+        tex_ids=np.asarray(tex_of_tri, np.int32) if tex_of_tri else
+        np.zeros((0,), np.int32),
+        textures=textures)
     _cache[path] = mesh
     return mesh
 
@@ -105,16 +168,61 @@ def make_box_mesh(sx: float, sy: float, sz: float, color) -> ObjMesh:
     faces = [(0, 2, 1), (0, 3, 2), (4, 5, 6), (4, 6, 7),
              (0, 1, 5), (0, 5, 4), (1, 2, 6), (1, 6, 5),
              (2, 3, 7), (2, 7, 6), (3, 0, 4), (3, 4, 7)]
+    n = len(faces)
     return ObjMesh(vertices=p[np.asarray(faces, np.int32)],
-                   colors=np.tile(np.asarray(color, np.float32), (12, 1)))
+                   colors=np.tile(np.asarray(color, np.float32), (n, 1)),
+                   uvs=np.zeros((n, 3, 2), np.float32),
+                   tex_ids=np.full((n,), -1, np.int32), textures=[])
+
+
+def _duckiebot_texture(annotated: bool) -> np.ndarray:
+    """Procedural duckiebot skin: blue chassis sides, yellow top deck,
+    dark wheel band.  The annotated variant is pure obstacle red — the
+    reference's duckiebot_cv texture swap (objmesh.py:289-302)."""
+    tex = np.zeros((TEX_RES, TEX_RES, 3), np.uint8)
+    if annotated:
+        tex[:] = (255, 0, 0)
+        return tex
+    tex[:] = (50, 60, 160)                      # chassis blue
+    tex[: TEX_RES // 3] = (230, 200, 40)        # top deck yellow
+    tex[2 * TEX_RES // 3:] = (25, 25, 28)       # wheel band
+    yy, xx = np.mgrid[0:TEX_RES, 0:TEX_RES]
+    dot = (yy - TEX_RES // 6) ** 2 + (xx - TEX_RES // 2) ** 2 < (TEX_RES // 8) ** 2
+    tex[dot] = (200, 60, 40)                    # "camera" marker
+    return tex
+
+
+def make_duckiebot_mesh() -> ObjMesh:
+    """UV-textured duckiebot (box proxy geometry, textured skin + the
+    annotated texture swap).  Face UVs map the texture's deck band onto
+    the top face and the chassis/wheel bands onto the sides."""
+    base = make_box_mesh(0.13, 0.12, 0.18, (50, 60, 160))
+    uvs = np.zeros((12, 3, 2), np.float32)
+    # box face -> texture band: bottom faces (0, 1) wheel band; top (2, 3)
+    # deck; sides map the full skin
+    band = {0: (0.70, 0.98), 1: (0.70, 0.98), 2: (0.02, 0.30), 3: (0.02, 0.30)}
+    full = (0.02, 0.98)
+    corner = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], np.float32)
+    for t in range(12):
+        lo, hi = band.get(t, full)
+        uvs[t, :, 0] = 0.02 + corner[:, 0] * 0.96
+        uvs[t, :, 1] = lo + corner[:, 1] * (hi - lo)
+    return ObjMesh(vertices=base.vertices, colors=base.colors, uvs=uvs,
+                   tex_ids=np.zeros((12,), np.int32),
+                   textures=[_duckiebot_texture(False)],
+                   annot_textures=[_duckiebot_texture(True)])
 
 
 def place_mesh(mesh: ObjMesh, pos_xz, rotate_deg: float,
                scale: float = 1.0) -> np.ndarray:
-    """Instance a mesh into world space: scale, yaw-rotate, translate."""
+    """Instance a mesh into world space: scale, yaw-rotate, translate.
+
+    Positive rotation is counter-clockwise/leftward (the map-file and
+    agent-heading convention: at 0 the mesh faces +x, heading
+    (cos a, -sin a) in world (x, z))."""
     a = np.radians(rotate_deg)
     c, s = np.cos(a), np.sin(a)
-    rot = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
     v = mesh.vertices * scale @ rot.T
     v = v + np.asarray([pos_xz[0], 0.0, pos_xz[1]], np.float32)
     return v
@@ -123,38 +231,81 @@ def place_mesh(mesh: ObjMesh, pos_xz, rotate_deg: float,
 class MeshSet(typing.NamedTuple):
     """All scene mesh triangles packed for the renderer (a NamedTuple so
     it traces as a pytree inside jitted render calls)."""
-    vertices: jax.Array   # (T, 3, 3)
-    colors: jax.Array     # (T, 3)
-    annotated: jax.Array  # (T,) 1.0 when the owning object is an obstacle
+    vertices: jax.Array    # (T, 3, 3)
+    colors: jax.Array      # (T, 3)
+    annotated: jax.Array   # (T,) 1.0 when the owning object is an obstacle
+    uvs: jax.Array         # (T, 3, 2)
+    tex_id: jax.Array      # (T,) atlas index, -1 = flat color
+    tex_id_annot: jax.Array  # (T,) atlas index in annotated mode, -1 = flat
+    atlas: jax.Array       # (K, TEX_RES, TEX_RES, 3) float32
 
     @staticmethod
     def empty() -> "MeshSet":
         far = np.full((1, 3, 3), 1e9, np.float32)
         return MeshSet(vertices=jnp.asarray(far),
                        colors=jnp.zeros((1, 3), jnp.float32),
-                       annotated=jnp.zeros((1,), jnp.float32))
+                       annotated=jnp.zeros((1,), jnp.float32),
+                       uvs=jnp.zeros((1, 3, 2), jnp.float32),
+                       tex_id=jnp.full((1,), -1, jnp.int32),
+                       tex_id_annot=jnp.full((1,), -1, jnp.int32),
+                       atlas=jnp.zeros((1, TEX_RES, TEX_RES, 3), jnp.float32))
 
     @staticmethod
     def build(instances) -> "MeshSet":
-        """instances: list of (world_vertices (T,3,3), colors (T,3),
+        """instances: list of (world_vertices (T,3,3), mesh: ObjMesh,
         annotated flag)."""
         if not instances:
             return MeshSet.empty()
-        vs = np.concatenate([v for v, _, _ in instances])
-        cs = np.concatenate([c for _, c, _ in instances])
-        fl = np.concatenate([np.full(len(v), f, np.float32)
-                             for v, _, f in instances])
-        return MeshSet(vertices=jnp.asarray(vs), colors=jnp.asarray(cs),
-                       annotated=jnp.asarray(fl))
+        vs, cs, fl, uv, tid, tid_a = [], [], [], [], [], []
+        atlas: list = []
+        for world_v, mesh, flag in instances:
+            n = len(world_v)
+            off = len(atlas)
+            atlas.extend(mesh.textures)
+            ids = np.where(mesh.tex_ids >= 0, mesh.tex_ids + off, -1)
+            if mesh.annot_textures is not None:
+                off_a = len(atlas)
+                ids_a = []
+                for k, t in enumerate(mesh.annot_textures):
+                    if t is None:
+                        ids_a.append(-1)
+                    else:
+                        ids_a.append(len(atlas))
+                        atlas.append(t)
+                lut = np.asarray(ids_a + [-1], np.int32)
+                tri_a = np.where(mesh.tex_ids >= 0, lut[mesh.tex_ids], -1)
+            else:
+                tri_a = np.full((n,), -1, np.int32)
+            vs.append(world_v)
+            cs.append(mesh.colors)
+            uv.append(mesh.uvs)
+            tid.append(ids.astype(np.int32))
+            tid_a.append(tri_a.astype(np.int32))
+            fl.append(np.full(n, flag, np.float32))
+        if not atlas:
+            atlas = [np.zeros((TEX_RES, TEX_RES, 3), np.uint8)]
+        return MeshSet(
+            vertices=jnp.asarray(np.concatenate(vs)),
+            colors=jnp.asarray(np.concatenate(cs)),
+            annotated=jnp.asarray(np.concatenate(fl)),
+            uvs=jnp.asarray(np.concatenate(uv)),
+            tex_id=jnp.asarray(np.concatenate(tid)),
+            tex_id_annot=jnp.asarray(np.concatenate(tid_a)),
+            atlas=jnp.asarray(np.stack(atlas).astype(np.float32)))
 
 
 def composite_meshes(rays, cam_pos, rgb, depth, meshes: MeshSet,
                      annotated: bool, annot_color):
-    """Möller–Trumbore nearest-hit composite, scanned over triangles."""
+    """Two-phase mesh composite.
+
+    Phase 1: Möller–Trumbore scan over triangles keeping only the
+    nearest (t, triangle index, barycentrics) per pixel — no color
+    writes inside the scan.  Phase 2: one shading pass gathers the hit
+    triangle's color/uv/texture and blends over the background."""
 
     def per_tri(carry, tri):
-        rgb, depth = carry
-        v, color, annot = tri
+        best_t, best_i, best_u, best_w = carry
+        v, i = tri
         e1 = v[1] - v[0]
         e2 = v[2] - v[0]
         h = jnp.cross(rays, e2)          # (H, W, 3)
@@ -164,19 +315,46 @@ def composite_meshes(rays, cam_pos, rgb, depth, meshes: MeshSet,
         u = f * jnp.sum(s * h, axis=-1)
         q = jnp.cross(s, e1)
         w = f * jnp.sum(rays * q, axis=-1)
-        t = f * jnp.sum(e2 * q)   # scalar dot broadcast over (H, W) via f
+        t = f * jnp.sum(e2 * q)
         valid = (jnp.abs(a) > 1e-9) & (u >= 0) & (w >= 0) & (u + w <= 1) & \
-                (t > 1e-4) & (t < depth)
-        if annotated:
-            c = jnp.where(annot > 0.5, jnp.asarray(annot_color, jnp.float32),
-                          color)
-        else:
-            c = color
-        new_rgb = jnp.where(valid[..., None], c, rgb)
-        new_depth = jnp.where(valid, t, depth)
-        return (new_rgb, new_depth), None
+                (t > 1e-4) & (t < best_t)
+        best_t = jnp.where(valid, t, best_t)
+        best_i = jnp.where(valid, i, best_i)
+        best_u = jnp.where(valid, u, best_u)
+        best_w = jnp.where(valid, w, best_w)
+        return (best_t, best_i, best_u, best_w), None
 
-    (rgb, depth), _ = jax.lax.scan(
-        per_tri, (rgb, depth),
-        (meshes.vertices, meshes.colors, meshes.annotated))
+    T = meshes.vertices.shape[0]
+    init = (depth, jnp.full(depth.shape, -1, jnp.int32),
+            jnp.zeros_like(depth), jnp.zeros_like(depth))
+    (best_t, best_i, best_u, best_w), _ = jax.lax.scan(
+        per_tri, init, (meshes.vertices, jnp.arange(T, dtype=jnp.int32)))
+
+    hit = best_i >= 0
+    idx = jnp.maximum(best_i, 0)
+
+    # flat color / annotated flat color
+    color = meshes.colors[idx]
+    annot_flag = meshes.annotated[idx]
+    if annotated:
+        color = jnp.where((annot_flag > 0.5)[..., None],
+                          jnp.asarray(annot_color, jnp.float32), color)
+        tex_id = meshes.tex_id_annot[idx]
+    else:
+        tex_id = meshes.tex_id[idx]
+
+    # UV interpolation + one atlas gather per pixel
+    uvt = meshes.uvs[idx]                      # (H, W, 3, 2)
+    b0 = (1.0 - best_u - best_w)[..., None]
+    uv = uvt[..., 0, :] * b0 + uvt[..., 1, :] * best_u[..., None] \
+        + uvt[..., 2, :] * best_w[..., None]
+    res = meshes.atlas.shape[1]
+    ix = jnp.clip((uv[..., 0] * res).astype(jnp.int32), 0, res - 1)
+    # OBJ v-coordinate runs bottom-up; image rows run top-down
+    iy = jnp.clip(((1.0 - uv[..., 1]) * res).astype(jnp.int32), 0, res - 1)
+    texel = meshes.atlas[jnp.maximum(tex_id, 0), iy, ix]
+    color = jnp.where((tex_id >= 0)[..., None], texel, color)
+
+    rgb = jnp.where(hit[..., None], color, rgb)
+    depth = jnp.where(hit, best_t, depth)
     return rgb, depth

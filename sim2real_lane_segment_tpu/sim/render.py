@@ -95,7 +95,11 @@ MESH_KINDS = {"duckiebot": (0.13, 0.12, 0.18), "barrier": (0.5, 0.12, 0.1),
               "sign": (0.12, 0.25, 0.02)}
 
 
-def build_scene(m: Map, seed: int = 0) -> SceneArrays:
+def build_scene(m: Map, seed: int = 0, with_layout: bool = False):
+    """Build the device scene; with_layout additionally returns
+    {object index: (first_triangle, n_triangles, mesh, rotate_deg)} so
+    dynamic objects (NPC duckiebots) can re-place their mesh triangles
+    each step."""
     atlas_np, kind_index = build_atlas(seed)
     gh, gw = m.grid_height, m.grid_width
     slot = np.zeros((gh, gw), np.int32)
@@ -109,10 +113,13 @@ def build_scene(m: Map, seed: int = 0) -> SceneArrays:
                 kind = t.kind if t.kind in kind_index else "asphalt"
                 slot[j, i] = kind_index[kind]
                 rot[j, i] = rotate_tex_index(t.orientation)
-    from .objmesh import MeshSet, load_obj, make_box_mesh, place_mesh
+    from .objmesh import (MeshSet, load_obj, make_box_mesh,
+                          make_duckiebot_mesh, place_mesh)
     objs = []
     mesh_instances = []
-    for o in m.objects:
+    layout = {}
+    tri_count = 0
+    for oi, o in enumerate(m.objects):
         # all sign_* variants (sign_stop, sign_T_intersect, ...) share the
         # generic sign geometry/color
         okind = "sign" if o.kind.startswith("sign") else o.kind
@@ -126,6 +133,10 @@ def build_scene(m: Map, seed: int = 0) -> SceneArrays:
         mesh = None
         if mesh_path:
             mesh = load_obj(mesh_path)
+        elif okind == "duckiebot":
+            # UV-textured skin + annotated texture swap (the reference's
+            # duckiebot_cv mesh, objmesh.py:289-302)
+            mesh = make_duckiebot_mesh()
         elif okind in MESH_KINDS:
             sx, sy, sz = MESH_KINDS[okind]
             sy = o.height or sy
@@ -135,12 +146,14 @@ def build_scene(m: Map, seed: int = 0) -> SceneArrays:
                      draw_cyl])
         if mesh is not None:
             mesh_instances.append((place_mesh(mesh, pos_world, o.rotate),
-                                   mesh.colors, annotated))
+                                   mesh, annotated))
+            layout[oi] = (tri_count, mesh.num_triangles, mesh, o.rotate)
+            tri_count += mesh.num_triangles
     if not objs:
         objs = [[1e9, 1e9, 0.0, 0.0, 0, 0, 0, 0.0, 0.0]]
     from .shading import build_shade_arrays
     shade_code, _ = build_shade_arrays(m)
-    return SceneArrays(
+    scene = SceneArrays(
         atlas=jnp.asarray(atlas_np),
         tile_slot=jnp.asarray(slot),
         tile_rot=jnp.asarray(rot),
@@ -149,6 +162,7 @@ def build_scene(m: Map, seed: int = 0) -> SceneArrays:
         grid_hw=(gh, gw),
         objects=jnp.asarray(np.asarray(objs, np.float32)),
         meshes=MeshSet.build(mesh_instances))
+    return (scene, layout) if with_layout else scene
 
 
 # ---------------------------------------------------------------------------

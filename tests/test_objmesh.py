@@ -86,3 +86,92 @@ def test_mesh_annotated_red():
     # pure-red obstacle pixels must exist (annotated obstacle color)
     red = (frame[..., 0] > 200) & (frame[..., 1] < 60) & (frame[..., 2] < 60)
     assert red.sum() > 10
+
+
+# ---------------------------------------------------------------------------
+# UV-textured meshes (reference objmesh.py:289-302 texture + annotated swap)
+# ---------------------------------------------------------------------------
+
+TEX_OBJ = """\
+mtllib tex.mtl
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+usemtl skin
+f 1/1 2/2 3/3 4/4
+"""
+TEX_MTL = """\
+newmtl skin
+Kd 0.5 0.5 0.5
+map_Kd tex.png
+"""
+
+
+def test_load_obj_with_texture(tmp_path):
+    import cv2
+    (tmp_path / "tex.obj").write_text(TEX_OBJ)
+    (tmp_path / "tex.mtl").write_text(TEX_MTL)
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :4] = (255, 0, 0)      # BGR blue-less: left half red... (B=255)
+    img[:, 4:] = (0, 255, 0)
+    cv2.imwrite(str(tmp_path / "tex.png"), img)
+    mesh = OM.load_obj(str(tmp_path / "tex.obj"))
+    assert mesh.num_triangles == 2
+    assert len(mesh.textures) == 1
+    assert mesh.textures[0].shape == (OM.TEX_RES, OM.TEX_RES, 3)
+    assert (mesh.tex_ids == 0).all()
+    assert mesh.uvs.max() == 1.0
+
+
+def test_duckiebot_mesh_textured_render():
+    """The duckiebot renders with its UV skin: yellow deck + blue chassis
+    pixels appear; annotated mode swaps to the pure-red skin and the
+    label extractor still yields class 3."""
+    from sim2real_lane_segment_tpu.ops.labelgen import process_classes
+
+    mdata = {
+        "tile_size": 0.585,
+        "tiles": [["straight/N", "straight/N", "straight/N"]],
+        "objects": [{"kind": "duckiebot", "pos": [1.5, 0.5], "rotate": 180,
+                     "height": 0.25}],
+    }
+    m = load_map_dict("mesh_map3", mdata)
+    scene = render.build_scene(m, 0)
+    pos = jnp.asarray([0.55 * m.tile_size, 0.5 * m.tile_size])
+    orig, annot = render.render_pair(scene, pos, jnp.asarray(0.0),
+                                     render.DRParams.default(),
+                                     jax.random.key(0), height=120, width=160)
+    orig, annot = np.asarray(orig), np.asarray(annot)
+    yellow = (orig[..., 0] > 180) & (orig[..., 1] > 150) & (orig[..., 2] < 90)
+    blue = (orig[..., 2] > 120) & (orig[..., 0] < 90)
+    assert yellow.sum() > 5, "textured deck not visible"
+    assert blue.sum() > 5, "textured chassis not visible"
+    # annotated swap -> obstacle class 3 from the extractor
+    mask = np.asarray(process_classes(orig, annot, channel_order="rgb"))
+    assert (mask == 3).sum() > 20, np.bincount(mask.ravel(), minlength=4)
+
+
+def test_npc_duckiebot_mesh_moves():
+    """A dynamic duckiebot's mesh triangles follow the NPC pose."""
+    from sim2real_lane_segment_tpu.sim.env import Simulator
+
+    mdata = {
+        "tile_size": 0.585,
+        "tiles": [["straight/E"] * 6],
+        "objects": [{"kind": "duckiebot", "pos": [2.5, 0.75], "rotate": 0,
+                     "height": 0.12, "static": False}],
+        "start_tile": [0, 0],
+    }
+    m = load_map_dict("mesh_map4", mdata)
+    env = Simulator(map_obj=m, camera_width=32, camera_height=24,
+                    domain_rand=False, seed=0)
+    v0 = np.array(env.scene.meshes.vertices)
+    for _ in range(12):
+        env.step(np.asarray([0.0, 0.0], np.float32))
+    v1 = np.array(env.scene.meshes.vertices)
+    assert np.abs(v1 - v0).max() > 0.01, "npc mesh did not move"
