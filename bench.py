@@ -42,6 +42,14 @@ def main() -> None:
         model = fcdensenet67(4, policy=DEFAULT_POLICY)
         forward = lambda variables, x: fast_apply(model, variables, x,
                                                   use_softmax=False)
+    elif which == "lanenet_int8":
+        # int8 PTQ serving path (models/lanenet_int8.py): v5e MXU int8
+        # runs ~2x bf16 on the same conv shapes
+        from sim2real_lane_segment_tpu.models.lanenet_int8 import (
+            int8_apply, quantize_lanenet)
+        from sim2real_lane_segment_tpu.models.lanenet_lite import LaneNetLite
+        model = LaneNetLite(n_classes=4, policy=DEFAULT_POLICY)
+        forward = None
     else:
         from sim2real_lane_segment_tpu.models.lanenet_lite import LaneNetLite
         model = LaneNetLite(n_classes=4, policy=DEFAULT_POLICY)
@@ -49,6 +57,13 @@ def main() -> None:
                                                    use_softmax=False)
     variables = jax.jit(model.init)(jax.random.key(0),
                                     jnp.zeros((1, 120, 160, 3), jnp.float32))
+    if which == "lanenet_int8":
+        calib = np.random.default_rng(1).integers(
+            0, 255, (8, 120, 160, 3), dtype=np.uint8)
+        calib_x, _ = eval_batch(jnp.asarray(calib), None, cfg,
+                                with_labels=False)
+        qn = quantize_lanenet(model, variables, calib_x)
+        forward = lambda _vars, x: int8_apply(qn, x)
 
     @jax.jit
     def infer(images_u8):
