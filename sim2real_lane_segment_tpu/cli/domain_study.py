@@ -1,9 +1,13 @@
 """End-to-end domain-adaptation study — the reference's experimental
 design as one reproducible command.
 
-Generates a source domain (clean loop_empty renders) and a shifted target
-domain (zigzag map + fisheye distortion + color shift), then trains and
-evaluates the adaptation regimes on the target test split:
+Generates a source domain and an appearance-shifted target domain
+(different map + global color shift + different DR seed), then trains
+and evaluates the adaptation regimes on the target test split.  Both
+domains render through the same fisheye distortion — in the reference
+both sim recordings (learning/utils/env.py:4-23, distortion=True) and
+the real Duckiebot camera are fisheye, so the sim2real gap is
+appearance, not geometry (HM/CycleGAN/MME address appearance):
 
   baseline  — source-only supervised training
   st        — source + small labelled target subset (50/50 sampling)
@@ -116,10 +120,11 @@ def main(args=None) -> dict:
     common.setup_logging()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default="domain_study")
-    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--episodes", type=int, default=3)
-    p.add_argument("--steps", type=int, default=96)
-    p.add_argument("--n_labelled", type=int, default=24)
+    p.add_argument("--steps", type=int, default=144)
+    p.add_argument("--n_labelled", type=int, default=32)
+    p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--arch", default="lite",
                    choices=["67", "57", "103", "tiny", "lite", "encdec"])
     p.add_argument("--source-map", default="loop_empty")
@@ -144,13 +149,13 @@ def main(args=None) -> dict:
     try:
         _record_domain("sourceData", args.source_map, seed=0,
                        episodes=args.episodes, steps=args.steps,
-                       distortion=False)
+                       distortion=True)
         _record_domain("targetData", args.target_map, seed=9,
                        episodes=args.episodes, steps=args.steps,
                        distortion=True,
                        color_shift=((1.05, 0.85, 0.7), -12))
 
-        kw = lambda: dict(num_cls=4, augment=True,
+        kw = lambda: dict(num_cls=4, augment=True, lr=args.lr,
                           model=build_model(args.arch, 4))
         results: dict = {}
         b_state = None

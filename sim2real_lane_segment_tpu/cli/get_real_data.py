@@ -67,8 +67,13 @@ def main(args=None) -> dict:
     args = p.parse_args(args)
 
     urls = []
-    url_file = args.urlFile if os.path.exists(args.urlFile) \
-        else DEFAULT_URL_FILE
+    url_file = args.urlFile
+    if not os.path.exists(url_file):
+        if args.urlFile != "realVideoURLs.txt":
+            # an explicitly-passed manifest that doesn't exist is an
+            # error, not a cue to download all 78 reference videos
+            p.error(f"--urlFile {args.urlFile!r} not found")
+        url_file = DEFAULT_URL_FILE
     if os.path.exists(url_file):
         with open(url_file) as f:
             urls = [u.strip() for u in f if u.strip()]

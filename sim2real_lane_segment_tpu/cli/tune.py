@@ -47,10 +47,6 @@ SEARCH_SPACE = {
 }
 
 
-def sample_config(rng: np.random.Generator) -> dict:
-    return {k: float(rng.uniform(lo, hi))
-            for k, (lo, hi) in SEARCH_SPACE.items()}
-
 
 def run_trial(config: dict, data, *, num_cls: int, epochs_from: int,
               epochs_to: int, out_dir: str, seed: int,
@@ -116,8 +112,14 @@ def main(args=None) -> dict:
                                   batch_size=args.batch_size, seed=seed)
     data.setup()
 
+    import jax
+
     from ..train.bayesopt import make_proposer
-    proposer = make_proposer(args.search, SEARCH_SPACE, seed=seed)
+    # fold the process index into the proposer seed: multi-host sweeps
+    # shard trials, and identically-seeded proposers would otherwise make
+    # every host draw the same config sequence
+    proposer = make_proposer(args.search, SEARCH_SPACE,
+                             seed=seed + 7919 * jax.process_index())
 
     # configs are proposed lazily at the first rung so TPE can condition
     # on every earlier trial's result (sequential model-based search)

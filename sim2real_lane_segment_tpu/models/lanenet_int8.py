@@ -24,8 +24,6 @@ tests/test_lanenet_int8.py against the float model's argmax.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,16 +38,6 @@ def _fold_bn(kernel, bn):
     return kernel * scale[None, None, None, :], shift
 
 
-@dataclasses.dataclass(frozen=True)
-class _ConvSpec:
-    """Static description of one quantized conv site."""
-    name: str
-    stride: int = 1
-    dilation: int = 1
-    relu: bool = True          # relu in the epilogue
-    folded_bn: bool = True     # kernel carries a folded BN
-
-
 def _graph(model):
     """The ordered conv sites of LaneNetLite + the block structure."""
     stem = [(f"ConvBN_{i}", 2) for i in range(len(model.stem))]
@@ -59,26 +47,15 @@ def _graph(model):
     return stem, blocks
 
 
-def _conv_params(variables, path: list[str]):
-    p = variables["params"]["featureExtractor"]
-    s = variables["batch_stats"]["featureExtractor"]
-    for k in path:
-        p = p[k]
-        s = s.get(k, {}) if isinstance(s, dict) else {}
-    return p, s
-
-
 class QuantizedLaneNet:
     """Holder for the quantized network: per-site int8 kernels, scales,
     biases (a plain pytree-of-dicts so it jits as a closure constant)."""
 
-    def __init__(self, model, sites: dict, head_kernel, head_bias,
-                 in_scale: float):
+    def __init__(self, model, sites: dict, head_kernel, head_bias):
         self.model = model
         self.sites = sites
         self.head_kernel = head_kernel
         self.head_bias = head_bias
-        self.in_scale = in_scale
 
 
 def _collect_float_layers(model, variables):
@@ -187,9 +164,7 @@ def quantize_lanenet(model, variables, calib_x) -> QuantizedLaneNet:
             relu=layer["relu"])
 
     head = variables["params"]["classifier"]["head"]
-    stem, _ = _graph(model)
-    return QuantizedLaneNet(model, sites, head["kernel"], head["bias"],
-                            in_scale=float(record[stem[0][0]] / 127.0))
+    return QuantizedLaneNet(model, sites, head["kernel"], head["bias"])
 
 
 def _conv_i8(x_q, site):

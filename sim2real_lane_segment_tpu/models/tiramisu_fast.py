@@ -75,7 +75,7 @@ def _conv_transpose_sum(segs, offs, kernel, bias, dtype):
     return out + bias.astype(dtype)
 
 
-def _dense_block(segs, params, stats, n_layers, growth_upsample, dtype):
+def _dense_block(segs, params, stats, n_layers, dtype):
     """Run a DenseBlock over segments; returns (all_segments, new_only)."""
     cur = list(segs)
     new = []
@@ -109,7 +109,7 @@ def fast_apply(model, variables, x, *, use_softmax: bool = True):
     skips = []
     for i, n in enumerate(model.down_blocks):
         segs, _ = _dense_block(segs, fe_p[f"denseDown{i}"],
-                               fe_s[f"denseDown{i}"], n, False, dtype)
+                               fe_s[f"denseDown{i}"], n, dtype)
         skips.append(segs)
         tp, tstat = fe_p[f"transDown{i}"], fe_s[f"transDown{i}"]
         td = _conv_sum(segs, _offsets(segs), tp["Conv_0"]["kernel"],
@@ -121,7 +121,7 @@ def fast_apply(model, variables, x, *, use_softmax: bool = True):
         segs = [td]
 
     _, segs = _dense_block(segs, fe_p["bottleneck"], fe_s["bottleneck"],
-                           model.bottleneck_layers, True, dtype)
+                           model.bottleneck_layers, dtype)
 
     for i, n in enumerate(model.up_blocks):
         skip = skips.pop()
@@ -136,8 +136,7 @@ def fast_apply(model, variables, x, *, use_softmax: bool = True):
         segs = [up] + list(skip)
         last = i == len(model.up_blocks) - 1
         all_segs, new_segs = _dense_block(segs, fe_p[f"denseUp{i}"],
-                                          fe_s[f"denseUp{i}"], n, not last,
-                                          dtype)
+                                          fe_s[f"denseUp{i}"], n, dtype)
         segs = all_segs if last else new_segs
 
     # L2 normalization: ||concat||^2 == sum of per-segment squares

@@ -112,13 +112,15 @@ class Simulator:
                  and n.obj_index in self._mesh_layout]
         if moved:
             from .objmesh import place_mesh
-            verts = np.array(self.scene.meshes.vertices)
+            verts = self.scene.meshes.vertices
+            # device-side slice updates: only the moved NPC's triangles
+            # upload, no full-tensor host round trip
             for n in moved:
                 start, count, mesh, _ = self._mesh_layout[n.obj_index]
-                verts[start:start + count] = place_mesh(
-                    mesh, n.pos, np.degrees(n.angle))
+                verts = verts.at[start:start + count].set(
+                    jnp.asarray(place_mesh(mesh, n.pos, np.degrees(n.angle))))
             self.scene = self.scene._replace(
-                meshes=self.scene.meshes._replace(vertices=jnp.asarray(verts)))
+                meshes=self.scene.meshes._replace(vertices=verts))
 
     # -- helpers ------------------------------------------------------------
 

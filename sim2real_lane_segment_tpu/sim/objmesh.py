@@ -295,13 +295,14 @@ class MeshSet(typing.NamedTuple):
 
 
 def composite_meshes(rays, cam_pos, rgb, depth, meshes: MeshSet,
-                     annotated: bool, annot_color):
+                     annotated: bool, annot_color, light=1.0):
     """Two-phase mesh composite.
 
     Phase 1: Möller–Trumbore scan over triangles keeping only the
     nearest (t, triangle index, barycentrics) per pixel — no color
     writes inside the scan.  Phase 2: one shading pass gathers the hit
-    triangle's color/uv/texture and blends over the background."""
+    triangle's color/uv/texture, applies the scene light factor, and
+    blends over the background."""
 
     def per_tri(carry, tri):
         best_t, best_i, best_u, best_w = carry
@@ -333,21 +334,29 @@ def composite_meshes(rays, cam_pos, rgb, depth, meshes: MeshSet,
     hit = best_i >= 0
     idx = jnp.maximum(best_i, 0)
 
-    # flat color / annotated flat color
+    # flat color / annotated flat color.  Only OBSTACLE-flagged meshes
+    # change in annotated mode (the reference swaps just the duckiebot
+    # texture, objmesh.py:289-302); everything else must render
+    # identically in both frames or the pixel-diff label extractor would
+    # classify the whole silhouette.
     color = meshes.colors[idx]
     annot_flag = meshes.annotated[idx]
     if annotated:
-        color = jnp.where((annot_flag > 0.5)[..., None],
+        obstacle = annot_flag > 0.5
+        color = jnp.where(obstacle[..., None],
                           jnp.asarray(annot_color, jnp.float32), color)
-        tex_id = meshes.tex_id_annot[idx]
+        tex_id = jnp.where(obstacle, meshes.tex_id_annot[idx],
+                           meshes.tex_id[idx])
     else:
         tex_id = meshes.tex_id[idx]
 
-    # UV interpolation + one atlas gather per pixel
+    # UV interpolation + one atlas gather per pixel; UVs wrap (GL_REPEAT,
+    # the reference GL default) so tiled vt coordinates work
     uvt = meshes.uvs[idx]                      # (H, W, 3, 2)
     b0 = (1.0 - best_u - best_w)[..., None]
     uv = uvt[..., 0, :] * b0 + uvt[..., 1, :] * best_u[..., None] \
         + uvt[..., 2, :] * best_w[..., None]
+    uv = uv - jnp.floor(uv)
     res = meshes.atlas.shape[1]
     ix = jnp.clip((uv[..., 0] * res).astype(jnp.int32), 0, res - 1)
     # OBJ v-coordinate runs bottom-up; image rows run top-down
@@ -355,6 +364,6 @@ def composite_meshes(rays, cam_pos, rgb, depth, meshes: MeshSet,
     texel = meshes.atlas[jnp.maximum(tex_id, 0), iy, ix]
     color = jnp.where((tex_id >= 0)[..., None], texel, color)
 
-    rgb = jnp.where(hit[..., None], color, rgb)
+    rgb = jnp.where(hit[..., None], color * light, rgb)
     depth = jnp.where(hit, best_t, depth)
     return rgb, depth

@@ -402,7 +402,8 @@ def render_frame(scene: SceneArrays, pos: jax.Array, angle: jax.Array,
     from .objmesh import composite_meshes
     rgb, depth = composite_meshes(rays, cam_pos, rgb, depth, scene.meshes,
                                   annotated,
-                                  jnp.asarray(ANNOT_OBSTACLE, jnp.float32))
+                                  jnp.asarray(ANNOT_OBSTACLE, jnp.float32),
+                                  light=ground_light)
 
     # ---- domain randomization: light scale + camera noise
     rgb = rgb * dr.light_rgb

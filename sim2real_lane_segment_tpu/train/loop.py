@@ -77,6 +77,28 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
             lr = trainer.lr_at(epoch)
             return trainer.train_step(state, images, labels, key, lr)
 
+    try:
+        best_iou, best_state, global_step = _fit_epochs(
+            trainer, state, data, logger, ckpt_mgr, key, best_iou,
+            best_state, global_step, start_epoch, max_epochs,
+            train_step_fn, log_every)
+    finally:
+        # async saves must be finalized even if a train step raised, or
+        # the best checkpoint of the run is left half-written
+        ckpt_mgr.close()
+
+    test = run_eval(trainer.eval_step, best_state, data.test_batches())
+    logger.log(global_step, {f"test/{k}": v for k, v in test.items()})
+    log.info("test: %s", test)
+
+    # reference train.py:73-75 saves best_weights.pt alongside the ckpt
+    save_weights(os.path.join(out_dir, "best_weights.msgpack"), best_state)
+    return best_state, best_iou, logger
+
+
+def _fit_epochs(trainer, state, data, logger, ckpt_mgr, key, best_iou,
+                best_state, global_step, start_epoch, max_epochs,
+                train_step_fn, log_every):
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         n_steps = 0
@@ -105,12 +127,4 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
                           hparams={"lr": trainer.lr, "decay": trainer.decay,
                                    "lrRatio": trainer.lr_ratio,
                                    "num_cls": trainer.num_cls})
-
-    ckpt_mgr.close()
-    test = run_eval(trainer.eval_step, best_state, data.test_batches())
-    logger.log(global_step, {f"test/{k}": v for k, v in test.items()})
-    log.info("test: %s", test)
-
-    # reference train.py:73-75 saves best_weights.pt alongside the ckpt
-    save_weights(os.path.join(out_dir, "best_weights.msgpack"), best_state)
-    return best_state, best_iou, logger
+    return best_iou, best_state, global_step
