@@ -94,12 +94,15 @@ class TrafficLight:
 
 def step_npcs(npcs: list, objects: np.ndarray, lane_arrays, tile_size: float,
               dt: float = 1.0 / 30.0) -> np.ndarray:
-    """Advance every NPC one tick; return an updated (n, 8) object array."""
+    """Advance every NPC one tick; return an updated (n, 12) object array
+    (render.SceneArrays.objects schema)."""
     objects = np.array(objects)
     for npc in npcs:
         if isinstance(npc, DuckiebotNPC):
             npc.step(lane_arrays, tile_size, dt)
             objects[npc.obj_index, 0:2] = npc.pos
+            if objects.shape[1] >= 12:  # keep the OBB footprint's yaw live
+                objects[npc.obj_index, 11] = npc.angle
         elif isinstance(npc, DuckiePedestrian):
             npc.step(dt)
             objects[npc.obj_index, 0:2] = npc.pos

@@ -68,8 +68,10 @@ class SceneArrays(NamedTuple):
     shade_code: jax.Array   # (gh, gw) int32 — procedural shading codes
     tile_size: float
     grid_hw: tuple[int, int]
-    # objects: cylinders (x, z, radius, h, r, g, b, annotated, draw)
-    objects: jax.Array      # (n_obj, 9) float32 (inert row when none)
+    # objects: (x, z, radius, h, r, g, b, annotated, draw_cyl,
+    #           hx, hz, theta) — cols 0:9 drive the cylinder compositor,
+    #           cols 9:12 are the OBB collision footprint (collision.py)
+    objects: jax.Array      # (n_obj, 12) float32 (inert row when none)
     meshes: "MeshSet"       # packed OBJ/box triangles (objmesh.py)
 
 
@@ -142,15 +144,23 @@ def build_scene(m: Map, seed: int = 0, with_layout: bool = False):
             sy = o.height or sy
             mesh = make_box_mesh(sx, sy, sz, color)
         draw_cyl = 0.0 if mesh is not None else 1.0
+        # OBB collision footprint: mesh kinds use their true (sx, sz)
+        # footprint so long objects (the 0.5 m barrier) collide as
+        # rotated boxes; cylinder kinds degrade to a square of radius
+        if okind in MESH_KINDS:
+            hx, hz = MESH_KINDS[okind][0] / 2, MESH_KINDS[okind][2] / 2
+        else:
+            hx = hz = radius
+        theta = float(np.radians(o.rotate))
         objs.append([*pos_world, radius, o.height, *color, annotated,
-                     draw_cyl])
+                     draw_cyl, hx, hz, theta])
         if mesh is not None:
             mesh_instances.append((place_mesh(mesh, pos_world, o.rotate),
                                    mesh, annotated))
             layout[oi] = (tri_count, mesh.num_triangles, mesh, o.rotate)
             tri_count += mesh.num_triangles
     if not objs:
-        objs = [[1e9, 1e9, 0.0, 0.0, 0, 0, 0, 0.0, 0.0]]
+        objs = [[1e9, 1e9, 0.0, 0.0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0]]
     from .shading import build_shade_arrays
     shade_code, _ = build_shade_arrays(m)
     scene = SceneArrays(
