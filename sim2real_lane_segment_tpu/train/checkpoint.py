@@ -144,10 +144,48 @@ def save_weights(path: str, state) -> None:
             {"params": state.params, "batch_stats": state.batch_stats})))
 
 
+def _remap_legacy_flat(file_tree: dict, target: dict) -> dict | None:
+    """Map a pre-split flat module layout onto the featureExtractor/
+    classifier split.
+
+    Early LaneNetLite weights (artifacts/lanenet_lite_sim.msgpack) were
+    saved from a flat module (ConvBN_*/ResBlock_*/head at top level);
+    the model has since been split into featureExtractor + classifier
+    submodules so the MME grad-reverse seam works on it.  Returns the
+    re-nested tree, or None if the layouts don't correspond.
+    """
+    for coll in ("params", "batch_stats"):
+        t = target.get(coll, {})
+        if set(t) - {"featureExtractor", "classifier"}:
+            return None
+        cls_keys = set(t.get("classifier", {}))
+        fe_keys = set(t.get("featureExtractor", {}))
+        have = set(file_tree.get(coll, {}))
+        if have != fe_keys | cls_keys or fe_keys & cls_keys:
+            return None
+    out = {}
+    for coll in ("params", "batch_stats"):
+        src, t = file_tree.get(coll, {}), target.get(coll, {})
+        nested = {}
+        for sub in ("featureExtractor", "classifier"):
+            if sub in t:
+                nested[sub] = {k: src[k] for k in t[sub]}
+        out[coll] = nested
+    return out
+
+
 def load_weights(path: str, state):
+    target = jax.device_get({"params": state.params,
+                             "batch_stats": state.batch_stats})
     with open(path, "rb") as f:
-        restored = serialization.from_bytes(
-            jax.device_get({"params": state.params,
-                            "batch_stats": state.batch_stats}), f.read())
+        blob = f.read()
+    try:
+        restored = serialization.from_bytes(target, blob)
+    except ValueError:
+        remapped = _remap_legacy_flat(serialization.msgpack_restore(blob),
+                                      target)
+        if remapped is None:
+            raise
+        restored = serialization.from_state_dict(target, remapped)
     return state.replace(params=restored["params"],
                          batch_stats=restored["batch_stats"])

@@ -58,3 +58,26 @@ def test_distill_step_learns(rng):
     assert last < first, (first, last)
     out = tr.eval_step(state, img, y)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_legacy_flat_artifact_loads():
+    """artifacts/lanenet_lite_sim.msgpack predates the featureExtractor/
+    classifier split; load_weights must remap the flat layout."""
+    import os
+
+    from sim2real_lane_segment_tpu.train import checkpoint as ckpt
+    from sim2real_lane_segment_tpu.train.supervised import SupervisedTrainer
+
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "lanenet_lite_sim.msgpack")
+    trainer = SupervisedTrainer(num_cls=4, augment=False,
+                                model=LaneNetLite(n_classes=4))
+    state = trainer.init_state(jax.random.key(0))
+    loaded = ckpt.load_weights(path, state)
+    # weights actually changed (not left at init) and predict runs
+    k0 = jax.tree_util.tree_leaves(state.params)[0]
+    k1 = jax.tree_util.tree_leaves(loaded.params)[0]
+    assert not np.allclose(np.asarray(k0), np.asarray(k1))
+    out = trainer.predict_step(
+        loaded, np.zeros((1, 120, 160, 3), np.uint8))
+    assert out.shape == (1, 120, 160)
