@@ -23,10 +23,24 @@ def make_train_mesh(n_devices: int | None = None, n_model: int = 1) -> Mesh:
     return make_mesh(n_model=n_model, devices=devices)
 
 
+def put_global(x, sharding: NamedSharding):
+    """Host array -> global device array, multi-process aware.
+
+    Single process: plain device_put.  Under ``jax.distributed`` the mesh
+    spans non-addressable devices, so each process contributes its LOCAL
+    portion via ``make_array_from_process_local_data`` (for a replicated
+    spec the local portion is the full array)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_train_batch(mesh: Mesh, batch):
-    """Batch axis over data; replicated over model."""
+    """Batch axis over data; replicated over model.  In a multi-process
+    run each process passes its per-process batch shard (the slice its
+    shard-aware sampler produced, data/samplers.py)."""
     sh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), batch)
 
 
 def param_spec(path, leaf, shard_model_channels: bool) -> P:
@@ -44,10 +58,10 @@ def shard_params(mesh: Mesh, params, shard_model_channels: bool = False):
         # only shard if divisible
         if spec != P() and leaf.shape[-1] % mesh.shape[MODEL_AXIS] != 0:
             spec = P()
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return put_global(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map_with_path(put, params)
 
 
 def replicate(mesh: Mesh, tree):
     sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), tree)
