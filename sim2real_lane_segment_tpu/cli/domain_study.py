@@ -12,6 +12,8 @@ appearance, not geometry (HM/CycleGAN/MME address appearance):
   baseline  — source-only supervised training
   st        — source + small labelled target subset (50/50 sampling)
   hm        — histogram-matched source + S&T training
+  cyclegan  — CycleGAN trained in-framework on the unpaired domains
+              (train/cyclegan.py), source restyled, then S&T training
   mme       — minimax-entropy SSDA from the baseline weights
 
 Writes a JSON summary of target-domain metrics per regime.  Runs
@@ -130,7 +132,9 @@ def main(args=None) -> dict:
     p.add_argument("--source-map", default="loop_empty")
     p.add_argument("--target-map", default="zigzag")
     p.add_argument("--regimes", nargs="+",
-                   default=["baseline", "st", "hm", "mme"])
+                   default=["baseline", "st", "hm", "cyclegan", "mme"])
+    p.add_argument("--cg_epochs", type=int, default=30,
+                   help="CycleGAN training epochs for the cyclegan regime")
     args = p.parse_args(args)
     common.setup_runtime()
 
@@ -191,6 +195,32 @@ def main(args=None) -> dict:
                           max_epochs=args.epochs, out_dir=f"results/{name}")
             results[name] = run_eval(tr.eval_step, s, data.test_batches())
             log.info("%s: %s (%.0fs)", name, results[name], time.time() - t0)
+
+        if "cyclegan" in args.regimes:
+            t0 = time.time()
+            from ..cli import sim2real_convert, train_cyclegan
+            root = _build_tree("srd_cg", "sourceData", "targetData",
+                               args.n_labelled, hm=False)
+            train_cyclegan.main([
+                "--source_dir", f"{root}/source/input",
+                "--target_dir", f"{root}/target/unlabelled/input",
+                "--out", "results/cyclegan_gen",
+                "--epochs", str(args.cg_epochs), "-b", "4"])
+            # restyle the source inputs in place, then train like S&T
+            sim2real_convert.main([
+                "--dataPath", f"{root}/source",
+                "--modelWeightsPath", "results/cyclegan_gen/g_ab.msgpack"])
+            tr = SupervisedTrainer(**kw())
+            data = TwoDomainDataModule(data_path=root, batch_size=32,
+                                       seed=42, load_into_memory=True)
+            data.setup()
+            s, _, _ = fit(tr, tr.init_state(jax.random.key(2)), data,
+                          max_epochs=args.epochs,
+                          out_dir="results/cyclegan")
+            results["cyclegan"] = run_eval(tr.eval_step, s,
+                                           data.test_batches())
+            log.info("cyclegan: %s (%.0fs)", results["cyclegan"],
+                     time.time() - t0)
 
         if "mme" in args.regimes:
             t0 = time.time()

@@ -1,4 +1,4 @@
-"""CycleGAN generator (inference path for sim→real domain transfer).
+"""CycleGAN generator + PatchGAN discriminator.
 
 Capability-parity rebuild of the generator the reference applies offline
 (rightLaneNetwork/utils/sim2real_convert.py:17-82, GeneratorResNet:
@@ -7,6 +7,12 @@ with InstanceNorm, two nearest-2x upsamples, 7x7 tanh head), as flax NHWC.
 
 Used by the ``sim2real_convert`` CLI to restyle every ``**/input/*.png``
 in a database — here batched and jitted on TPU rather than per-image.
+
+``Discriminator`` (70x70 PatchGAN, the family this generator was trained
+against upstream) goes beyond the reference: it shipped only pretrained-
+generator *application*; here train/cyclegan.py trains the full cycle
+natively so the CycleGAN regime of the adaptation study runs end-to-end
+without external weights.
 """
 from __future__ import annotations
 
@@ -91,3 +97,28 @@ class GeneratorResNet(nn.Module):
                     dtype=self.policy.compute_dtype,
                     param_dtype=self.policy.param_dtype)(x)
         return jnp.tanh(x.astype(jnp.float32))
+
+
+class Discriminator(nn.Module):
+    """70x70 PatchGAN: C64-C128-C256-C512 4x4 stride-2 convs (no norm on
+    the first), LeakyReLU 0.2, then a 1-channel 4x4 head — emits a grid
+    of per-patch real/fake scores (LSGAN targets 1/0)."""
+    policy: DTypePolicy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.policy.compute_dtype)
+        for i, feat in enumerate((64, 128, 256, 512)):
+            x = nn.Conv(feat, (4, 4), strides=(2, 2), padding=1,
+                        dtype=self.policy.compute_dtype,
+                        param_dtype=self.policy.param_dtype)(x)
+            if i > 0:
+                x = InstanceNorm()(x)
+            x = nn.leaky_relu(x, 0.2)
+        # asymmetric (top-left) zero pad before the head, as in the
+        # upstream PatchGAN this generator family is trained against
+        x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        x = nn.Conv(1, (4, 4), padding=1,
+                    dtype=self.policy.compute_dtype,
+                    param_dtype=self.policy.param_dtype)(x)
+        return x.astype(jnp.float32)
