@@ -134,3 +134,39 @@ def test_get_real_data_imitate_zero_egress(tmp_path, monkeypatch):
     assert out["urls"] == 78
     assert out["videos"] == 0
     assert not os.path.exists(tmp_path / "realVideos")
+
+
+def test_train_cyclegan_cli(tmp_path, rng):
+    """Tiny end-to-end: train a 1-block cycle on two 8-image PNG domains,
+    then feed the saved generator through sim2real_convert."""
+    from sim2real_lane_segment_tpu.cli import sim2real_convert, train_cyclegan
+
+    h, w = 16, 16
+    for dom, shift in (("a", (0, 0, 60)), ("b", (60, 0, 0))):
+        os.makedirs(tmp_path / dom, exist_ok=True)
+        for i in range(8):
+            img = rng.integers(0, 120, (h, w, 3), dtype=np.uint8)
+            img += np.asarray(shift, np.uint8)
+            cv2.imwrite(str(tmp_path / dom / f"{i:03d}.png"), img)
+    out = str(tmp_path / "cg")
+    res = train_cyclegan.main([
+        "--source_dir", str(tmp_path / "a"), "--target_dir",
+        str(tmp_path / "b"), "--out", out, "--epochs", "2", "-b", "4",
+        "--width", str(w), "--height", str(h),
+        "--num_residual_blocks", "1"])
+    assert os.path.exists(os.path.join(out, "g_ab.msgpack"))
+    assert os.path.exists(os.path.join(out, "history.jsonl"))
+    assert np.isfinite(res["final"]["loss_G"])
+
+    # converted DB tree: sim2real_convert must accept the trained weights
+    db = tmp_path / "db" / "input"
+    os.makedirs(db)
+    for i in range(2):
+        cv2.imwrite(str(db / f"{i:03d}.png"),
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    sim2real_convert.main(["--dataPath", str(tmp_path / "db"),
+                           "--modelWeightsPath",
+                           os.path.join(out, "g_ab.msgpack"),
+                           "--num_residual_blocks", "1"])
+    out_img = cv2.imread(str(db / "000.png"))
+    assert out_img.shape == (480, 640, 3)  # reference re-upscale contract
