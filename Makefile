@@ -4,7 +4,7 @@
 
 CPU_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: test test-fast bench dryrun lint
+.PHONY: test test-fast bench dryrun lint sim-bench serve domain-study multihost
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -x -q
@@ -23,3 +23,16 @@ dryrun:
 
 sim-bench:
 	python -m sim2real_lane_segment_tpu.cli.sim_benchmark
+
+# streaming inference service over the committed demo weights
+serve:
+	python -m sim2real_lane_segment_tpu.cli.serve \
+	    --checkpointPath artifacts/lanenet_lite_sim.msgpack --arch lite
+
+# the full 5-regime adaptation experiment (tens of minutes on one chip)
+domain-study:
+	python -m sim2real_lane_segment_tpu.cli.domain_study
+
+# validate multi-host data parallelism with a real 2-process CPU cluster
+multihost:
+	$(CPU_ENV) python -m pytest tests/test_multihost.py -q
