@@ -37,6 +37,16 @@ def main() -> None:
     cfg = AugmentConfig()
     which = os.environ.get("BENCH_MODEL", "lanenet_lite")
     if which == "fcdensenet67":
+        # fused-Pallas serving path (models/tiramisu_pallas.py): VMEM-
+        # resident dense blocks + kn2row tap packing + in-kernel classifier
+        from sim2real_lane_segment_tpu.models.tiramisu import fcdensenet67
+        from sim2real_lane_segment_tpu.models.tiramisu_pallas import (
+            pallas_apply)
+        model = fcdensenet67(4, policy=DEFAULT_POLICY)
+        forward = lambda variables, x: pallas_apply(model, variables, x,
+                                                    use_softmax=False)
+    elif which == "fcdensenet67_segsum":
+        # round-1 segment-wise XLA path, kept for comparison
         from sim2real_lane_segment_tpu.models.tiramisu import fcdensenet67
         from sim2real_lane_segment_tpu.models.tiramisu_fast import fast_apply
         model = fcdensenet67(4, policy=DEFAULT_POLICY)

@@ -1,0 +1,495 @@
+"""Fused Pallas dense-block kernel: FC-DenseNet inference at HBM-traffic
+~parity with plain CNNs.
+
+Why: profiling the XLA forward (both the standard flax apply and the
+segment-wise ``tiramisu_fast``) on TPU v5e shows FC-DenseNet67 is
+HBM-bandwidth-bound, not MXU-bound — ~380 MB of HBM traffic per 160x120
+frame at ~680 GB/s sustained, because every DenseLayer (reference
+rightLaneNetwork/models/FCDenseNet/layers.py:5-25) applies its own
+BatchNorm to the whole concatenated input, so XLA materializes a fresh
+BN->ReLU(concat) tensor in HBM per layer (conv operands cannot fuse with
+their producers).
+
+This kernel runs a whole DenseBlock per spatial tile with the growing
+feature buffer resident in VMEM, in CHANNEL-MAJOR ([C, pixels]) layout:
+
+- The feature buffer F [c_total, P] lives in VMEM scratch for the
+  duration of the block; each layer's growth-channel output lands in its
+  sublane row slice.  Inter-layer activations never touch HBM.
+- Each layer's 3x3 conv uses the kn2row decomposition: ONE GEMM
+  Wf^T[9*growth, C_j] @ A[C_j, P] (the 9 taps' 1x1 kernels stacked along
+  the OUTPUT-SUBLANE axis) followed by 9 shift-adds.  Lanes carry the
+  pixel axis, so the MXU N dimension is always full, and each tap's
+  shift-add touches exactly its own 16 sublane rows — measured ~6x
+  faster than the row-major ([P, C]) formulation, where every
+  16-of-128-lane slice op cost a full-width vector pass.
+- BatchNorm (inference, running stats) is folded to per-layer scale and
+  shift columns applied as a K-chunk of F is fed to the MXU; Dropout2d
+  is inference-identity.
+- Channel-major makes alignment trivial: channel counts (sublanes) only
+  need multiples of 8 — every real FC-DenseNet channel count is a
+  multiple of 16 — so block inputs are passed as a LIST of segments
+  (e.g. [transition-up output, skip]) DMA'd directly into their F row
+  range, with no lane padding, staging, or compaction.  Only the pixel
+  axis (lanes) pads to multiples of 128, and only for levels whose H*W
+  is not already one.
+- Tiles use a CIRCULAR pixel layout [center | bottom halo | top halo]:
+  ``pltpu.roll`` wraparound lands reads of row -1 exactly on the top
+  halo.  Halo DMA sizes round up to 128 px; the slop lands in circular
+  positions that are already invalid.  Pixels outside the image are
+  masked to zero at the BN->ReLU output (conv zero padding applies to
+  the conv INPUT), which also neutralizes stale halo data.  A row is
+  valid after layer j iff its +-1 neighbours were valid after j-1, so
+  the central ``tile_rows`` rows are exact after n_layers layers
+  (overlap-shrink).
+
+The XLA glue (firstconv, transitions, classifier) also runs channel-
+major: 1x1 convs become einsums, pooling reshapes to [B, C, H, W] —
+only the network input and the logits output transpose layouts.
+
+Output parity with ``model.apply(..., train=False)`` is gated in
+tests/test_tiramisu_pallas.py (interpret mode on CPU, compiled on TPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-5
+DN = ("NHWC", "HWIO", "NHWC")
+_VMEM_BUDGET = 13 * 1024 * 1024
+LANE = 128
+
+
+def _ceil(x, m):
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# parameter folding
+# ---------------------------------------------------------------------------
+
+def _fold_block_params(params, stats, n_layers, growth, k_max, dtype):
+    """Fold each DenseLayer's BN into (scale, shift) columns and flatten
+    its conv kernel to transposed kn2row layout [n, 9*growth, k_max]."""
+    scales, shifts, wfs, biases = [], [], [], []
+    for j in range(n_layers):
+        lp, ls = params[f"DenseLayer_{j}"], stats[f"DenseLayer_{j}"]
+        bn, bs = lp["BatchNorm_0"], ls["BatchNorm_0"]
+        scale = bn["scale"] * jax.lax.rsqrt(bs["var"] + EPS)
+        shift = bn["bias"] - bs["mean"] * scale
+        k = scale.shape[0]
+        pad = k_max - k
+        scales.append(jnp.pad(scale.astype(jnp.float32), (0, pad)))
+        shifts.append(jnp.pad(shift.astype(jnp.float32), (0, pad)))
+        w = lp["Conv_0"]["kernel"]  # [3, 3, C_j, growth]
+        wf = jnp.transpose(w, (0, 1, 3, 2)).reshape(9 * growth, k)
+        wfs.append(jnp.pad(wf.astype(dtype), ((0, 0), (0, pad))))
+        biases.append(lp["Conv_0"]["bias"].astype(jnp.float32))
+    return (jnp.stack(scales).T, jnp.stack(shifts).T, jnp.stack(wfs),
+            jnp.stack(biases))
+
+
+def _pick_tile_rows(h, w, c_total, growth, n_layers, itemsize, align):
+    """Largest tile-row count whose VMEM footprint fits the budget.
+    Multi-tile requires tr | h and tr*w % align == 0 (lane-aligned DMA;
+    align=1 in interpret mode)."""
+    def fits(tr, single):
+        trw = _ceil(tr * w, align) if single else tr * w
+        p = trw + 2 * _ceil(n_layers * w, align)
+        f_b = _ceil(c_total, 8) * p * itemsize
+        g_b = _ceil(9 * growth, 8) * p * 4
+        tmp = LANE * p * (itemsize + 4)
+        return f_b + g_b + tmp <= _VMEM_BUDGET
+
+    if fits(h, True):
+        return h
+    for tr in sorted((d for d in range(1, h) if h % d == 0), reverse=True):
+        if (tr * w) % align == 0 and fits(tr, False):
+            return tr
+    raise ValueError(f"no feasible tile size for h={h} w={w} c={c_total}")
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
+                        tile_rows, n_tiles, align, dtype, temp=None):
+    n_seg = len(seg_chans)
+    seg_hbm = refs[:n_seg]
+    scale_ref, shift_ref, wf_ref, bias_ref = refs[n_seg:n_seg + 4]
+    idx = n_seg + 4
+    wct_ref = cb_ref = None
+    if temp is not None:
+        wct_ref, cb_ref = refs[idx:idx + 2]
+        idx += 2
+    out_hbm, f_ref, g_ref = refs[idx:idx + 3]
+    sems = refs[idx + 3]
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    g = growth
+    n = n_layers
+    c_in = sum(seg_chans)
+    c_total = c_in + n * g
+    trw = _ceil(tile_rows * w, align) if n_tiles == 1 else tile_rows * w
+    nwd = _ceil(n * w, align)
+    p_full = trw + 2 * nwd
+
+    # --- DMA the segments straight into their F row ranges ---------------
+    # circular pixel layout along lanes: [center trw | bottom nwd | top nwd]
+    # (halo reads round up to 128 px; the slop occupies circular positions
+    # that are already outside the valid shrink region)
+    c0 = pl.multiple_of(t * trw, align)
+    b0 = pl.multiple_of(t * trw + trw, align)
+    t0 = pl.multiple_of(t * trw - nwd, align)
+    off = 0
+    for i in range(n_seg):
+        c_seg = seg_chans[i]
+        center = pltpu.make_async_copy(
+            seg_hbm[i].at[b, :, pl.ds(c0, trw)],
+            f_ref.at[off:off + c_seg, 0:trw], sems.at[0])
+        center.start()
+        if n_tiles > 1:
+            # single-tile grids never run halo DMAs; emitting them anyway
+            # would trip Mosaic's static bounds checks
+            bottom = pltpu.make_async_copy(
+                seg_hbm[i].at[b, :, pl.ds(b0, nwd)],
+                f_ref.at[off:off + c_seg, trw:trw + nwd], sems.at[1])
+            top = pltpu.make_async_copy(
+                seg_hbm[i].at[b, :, pl.ds(t0, nwd)],
+                f_ref.at[off:off + c_seg, trw + nwd:p_full], sems.at[2])
+
+            @pl.when(t < nt - 1)
+            def _():
+                bottom.start()
+
+            @pl.when(t > 0)
+            def _():
+                top.start()
+
+        center.wait()
+        if n_tiles > 1:
+            @pl.when(t < nt - 1)
+            def _():
+                bottom.wait()
+
+            @pl.when(t > 0)
+            def _():
+                top.wait()
+        off += c_seg
+
+    # halo regions whose DMA was skipped hold stale data; zero them so the
+    # mask arithmetic below stays finite (NaN * 0 == NaN)
+    @pl.when(t == 0)
+    def _():
+        f_ref[0:c_in, trw + nwd:p_full] = jnp.zeros((c_in, nwd), dtype)
+
+    @pl.when(t == nt - 1)
+    def _():
+        f_ref[0:c_in, trw:trw + nwd] = jnp.zeros((c_in, nwd), dtype)
+
+    # --- masks over the global pixel index -------------------------------
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, p_full), 1)
+    gpx = jnp.where(pid < trw + nwd, t * trw + pid,
+                    t * trw + pid - trw - 2 * nwd)
+    grow = jax.lax.div(gpx, w)  # trunc division; gpx<0 only on halo slop
+    gcol = gpx - grow * w
+    mask_v = ((gpx >= 0) & (grow < h)).astype(jnp.float32)
+    mask_l = mask_v * (gcol != 0)
+    mask_r = mask_v * (gcol != (w - 1))
+
+    # --- dense layers -----------------------------------------------------
+    for j in range(n):
+        c_j = c_in + j * g
+        # kn2row GEMM over K chunks: G = Wf_j @ bn_relu(F[:c_j, :])
+        for kc in range(0, c_j, LANE):
+            ck = min(LANE, c_j - kc)
+            blk = f_ref[kc:kc + ck, :].astype(jnp.float32)
+            sc = scale_ref[kc:kc + ck, j:j + 1]
+            sh = shift_ref[kc:kc + ck, j:j + 1]
+            a = (jnp.maximum(blk * sc + sh, 0.0) * mask_v).astype(dtype)
+            part = jnp.dot(wf_ref[j, :, kc:kc + ck], a,
+                           preferred_element_type=jnp.float32)
+            if kc == 0:
+                g_ref[:, :] = part
+            else:
+                g_ref[:, :] = g_ref[:, :] + part
+        # shift-add the 9 taps: y[p] = sum_t G[tap t, (p + off_t) mod P]
+        acc = None
+        for ky in range(3):
+            for kx in range(3):
+                tap = ky * 3 + kx
+                gs = g_ref[tap * g:(tap + 1) * g, :]
+                roll = (ky - 1) * w + (kx - 1)
+                if roll != 0:
+                    gs = pltpu.roll(gs, shift=(-roll) % p_full, axis=1)
+                if kx == 0:
+                    gs = gs * mask_l
+                elif kx == 2:
+                    gs = gs * mask_r
+                acc = gs if acc is None else acc + gs
+        y = acc + bias_ref[j, :][:, None]
+        f_ref[c_j:c_j + g, :] = y.astype(dtype)
+
+    if temp is None:
+        copy_out = pltpu.make_async_copy(
+            f_ref.at[c_lo:c_total, 0:trw],
+            out_hbm.at[b, :, pl.ds(c0, trw)], sems.at[3])
+        copy_out.start()
+        copy_out.wait()
+        return
+
+    # --- fused classifier tail: L2 norm -> 1x1 conv -> /T ----------------
+    # (reference tiramisu.py:105,113-125; rounding order matches flax:
+    # normalize in f32, cast, conv with f32 accumulation, add bias, /T)
+    feats = f_ref[0:c_total, :].astype(jnp.float32)
+    norm2 = jnp.sum(feats * feats, axis=0, keepdims=True)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(norm2), 1e-12)
+    fn = (feats * inv).astype(dtype)
+    u = jnp.dot(wct_ref[:, :], fn, preferred_element_type=jnp.float32)
+    g_ref[0:8, :] = (u + cb_ref[:, :]) * (1.0 / temp)
+    copy_out = pltpu.make_async_copy(
+        g_ref.at[0:8, 0:trw], out_hbm.at[b, :, pl.ds(c0, trw)], sems.at[3])
+    copy_out.start()
+    copy_out.wait()
+
+
+def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
+                         tile_rows=None, interpret=False, classifier=None):
+    """Run one DenseBlock (inference) as a fused Pallas kernel,
+    channel-major.
+
+    segments: list of [B, C_i, Ppad] tensors (Ppad = H*W padded to a
+    multiple of 128 — see :func:`_to_cm`) forming the virtual concat.
+    folded: output of :func:`_fold_block_params`.
+    c_lo: first output channel — 0 returns the full concat
+    [input || y_1..y_n]; c_in returns only the new features (the
+    reference DenseBlock ``upsample`` variant, layers.py:34-44).
+    classifier: optional (wcT [8, c_total], cbias [8, 1], temperature) —
+    fuses the network tail (per-pixel L2 norm -> 1x1 conv -> /T) into the
+    kernel epilogue and returns f32 logits [B, 8, Ppad] instead of
+    features (rows beyond n_classes are padding).  Saves the full-width
+    feature write-out AND the layout copies XLA otherwise spends
+    transposing the [B, C, P] concat for the classifier GEMM (~20% of
+    whole-net time at 160x120, measured).
+    Returns [B, c_total - c_lo, Ppad] (or the logits tensor).
+    """
+    align = 1 if interpret else LANE
+    scale, shift, wf, bias = folded
+    seg_chans = tuple(x.shape[1] for x in segments)
+    bsz = segments[0].shape[0]
+    p_pad = segments[0].shape[2]
+    dtype = segments[0].dtype
+    c_in = sum(seg_chans)
+    c_total = c_in + n_layers * growth
+    if tile_rows is None:
+        tile_rows = _pick_tile_rows(h, w, c_total, growth, n_layers,
+                                    jnp.dtype(dtype).itemsize, align)
+    nt = h // tile_rows
+    trw = _ceil(tile_rows * w, align) if nt == 1 else tile_rows * w
+    assert trw * nt == p_pad, (trw, nt, p_pad)
+
+    extra_in = list(folded)
+    temp = None
+    if classifier is not None:
+        wct, cbias, temp = classifier
+        extra_in += [wct.astype(dtype), cbias.astype(jnp.float32)]
+        out_shape = jax.ShapeDtypeStruct((bsz, 8, p_pad), jnp.float32)
+    else:
+        out_shape = jax.ShapeDtypeStruct((bsz, c_total - c_lo, p_pad),
+                                         dtype)
+    kernel = functools.partial(
+        _dense_block_kernel, n_layers=n_layers, growth=growth,
+        seg_chans=seg_chans, c_lo=c_lo, w=w, h=h, tile_rows=tile_rows,
+        n_tiles=nt, align=align, dtype=dtype, temp=temp)
+    p_scr = trw + 2 * _ceil(n_layers * w, align)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, nt),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(segments) + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra_in),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((c_total, p_scr), dtype),
+            pltpu.VMEM((max(9 * growth, 8), p_scr), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        # v5e has 128 MiB VMEM; the default 16 MiB scoped cap is too small
+        # for the unrolled per-layer GEMM temporaries
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*segments, *extra_in)
+
+
+def fused_dense_block(segments, folded, *, n_layers, growth, c_lo,
+                      tile_rows=None, interpret=False):
+    """NHWC convenience wrapper around :func:`fused_dense_block_cm`.
+
+    segments: list of (tensor [B, H, W, C_i], real_channels) pairs; any
+    trailing channels beyond real_channels are dropped.  Returns
+    (out [B, H, W, c_out], c_out).
+    """
+    b, h, w, _ = segments[0][0].shape
+    align = 1 if interpret else LANE
+    cm = [_to_cm(x[..., :real], align) for x, real in segments]
+    out = fused_dense_block_cm(cm, folded, n_layers=n_layers, growth=growth,
+                               c_lo=c_lo, h=h, w=w, tile_rows=tile_rows,
+                               interpret=interpret)
+    return _from_cm(out, h, w), out.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# channel-major helpers + XLA glue
+# ---------------------------------------------------------------------------
+
+def _to_cm(x, align=LANE):
+    """[B, H, W, C] -> [B, C, ceil(H*W, align)]."""
+    b, h, w, c = x.shape
+    x = jnp.transpose(x.reshape(b, h * w, c), (0, 2, 1))
+    return jnp.pad(x, ((0, 0), (0, 0), (0, _ceil(h * w, align) - h * w)))
+
+
+def _from_cm(x, h, w):
+    """[B, C, Ppad] -> [B, H, W, C]."""
+    return jnp.transpose(x[:, :, :h * w], (0, 2, 1)).reshape(
+        x.shape[0], h, w, x.shape[1])
+
+
+def _bn_relu_cm(x, p, s):
+    scale = (p["scale"] * jax.lax.rsqrt(s["var"] + EPS))[:, None]
+    shift = (p["bias"] - s["mean"] * scale[:, 0])[:, None]
+    return jnp.maximum(x.astype(jnp.float32) * scale + shift, 0.0)
+
+
+def _transition_down_cm(x, h, w, p, s, dtype, align=LANE):
+    """BN -> ReLU -> 1x1 conv -> (eval dropout = id) -> maxpool2, all in
+    [B, C, P] channel-major layout (the 1x1 conv is an einsum)."""
+    bsz = x.shape[0]
+    y = _bn_relu_cm(x, p["BatchNorm_0"], s["BatchNorm_0"]).astype(dtype)
+    k = p["Conv_0"]["kernel"][0, 0].astype(dtype)  # [C, C_out]
+    y = jnp.einsum("bcp,cd->bdp", y, k,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    y = y + p["Conv_0"]["bias"].astype(dtype)[:, None]
+    y = y[:, :, :h * w].reshape(bsz, -1, h, w)
+    y = jax.lax.reduce_window(
+        y, jnp.array(-jnp.inf, y.dtype), jax.lax.max,
+        (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+    ho, wo = h // 2, w // 2
+    y = y.reshape(bsz, -1, ho * wo)
+    return jnp.pad(y, ((0, 0), (0, 0), (0, _ceil(ho * wo, align) - ho * wo)))
+
+
+def _transition_up_cm(x, h, w, skip_h, skip_w, p, dtype, align=LANE):
+    """stride-2 VALID 3x3 transposed conv -> center-crop, channel-major."""
+    bsz = x.shape[0]
+    x4 = x[:, :, :h * w].reshape(bsz, -1, h, w)
+    y = jax.lax.conv_transpose(
+        x4.astype(dtype), p["kernel"].astype(dtype), (2, 2), "VALID",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"))
+    y = y + p["bias"].astype(dtype)[:, None, None]
+    y0 = (y.shape[2] - skip_h) // 2
+    x0 = (y.shape[3] - skip_w) // 2
+    y = y[:, :, y0:y0 + skip_h, x0:x0 + skip_w]
+    y = y.reshape(bsz, -1, skip_h * skip_w)
+    return jnp.pad(y, ((0, 0), (0, 0),
+                       (0, _ceil(skip_h * skip_w, align) - skip_h * skip_w)))
+
+
+def _fold(fe_p, fe_s, name, n_layers, growth, dtype):
+    k_max = fe_p[name][f"DenseLayer_{n_layers - 1}"]["BatchNorm_0"][
+        "scale"].shape[0]
+    return _fold_block_params(fe_p[name], fe_s[name], n_layers, growth,
+                              k_max, dtype)
+
+
+def pallas_apply(model, variables, x, *, use_softmax: bool = True,
+                 interpret: bool | None = None):
+    """Inference forward of an ``FCDenseNet`` with fused dense blocks.
+
+    Matches ``model.apply(variables, x, train=False, use_softmax=...)``
+    (parity-gated).  ``interpret`` defaults to True off-TPU so the same
+    code path runs under the CPU test mesh.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    align = 1 if interpret else LANE
+    dtype = model.policy.compute_dtype
+    g = model.growth_rate
+    fe_p = variables["params"]["featureExtractor"]
+    fe_s = variables["batch_stats"]["featureExtractor"]
+    bsz, h, w, _ = x.shape
+
+    cur = jax.lax.conv_general_dilated(
+        x.astype(dtype), fe_p["firstconv"]["kernel"].astype(dtype), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=DN)
+    cur = _to_cm(cur + fe_p["firstconv"]["bias"].astype(dtype), align)
+
+    dims = [(h, w)]
+    skips = []
+    for i, n in enumerate(model.down_blocks):
+        hh, ww = dims[-1]
+        folded = _fold(fe_p, fe_s, f"denseDown{i}", n, g, dtype)
+        cur = fused_dense_block_cm([cur], folded, n_layers=n, growth=g,
+                                   c_lo=0, h=hh, w=ww, interpret=interpret)
+        skips.append(cur)
+        cur = _transition_down_cm(cur, hh, ww, fe_p[f"transDown{i}"],
+                                  fe_s[f"transDown{i}"], dtype, align)
+        dims.append((hh // 2, ww // 2))
+
+    hh, ww = dims[-1]
+    folded = _fold(fe_p, fe_s, "bottleneck", model.bottleneck_layers, g,
+                   dtype)
+    new = fused_dense_block_cm([cur], folded,
+                               n_layers=model.bottleneck_layers, growth=g,
+                               c_lo=cur.shape[1], h=hh, w=ww,
+                               interpret=interpret)
+
+    cl_p = variables["params"]["classifier"]["finalConv"]
+    n_cls = cl_p["kernel"].shape[-1]
+    for i, n in enumerate(model.up_blocks):
+        skip = skips.pop()
+        sh, sw = dims[-2 - i]
+        up = _transition_up_cm(new, hh, ww, sh, sw,
+                               fe_p[f"transUp{i}"]["ConvTranspose_0"],
+                               dtype, align)
+        hh, ww = sh, sw
+        last = i == len(model.up_blocks) - 1
+        folded = _fold(fe_p, fe_s, f"denseUp{i}", n, g, dtype)
+        classifier = None
+        if last and model.kernel_size == 1 and n_cls <= 8:
+            # fuse L2-norm + 1x1 classifier + temperature into the kernel
+            wct = jnp.pad(cl_p["kernel"][0, 0].T, ((0, 8 - n_cls), (0, 0)))
+            cbias = jnp.pad(cl_p["bias"], (0, 8 - n_cls))[:, None]
+            classifier = (wct, cbias, 0.05)
+        new = fused_dense_block_cm(
+            [up, skip], folded, n_layers=n, growth=g,
+            c_lo=0 if last else up.shape[1] + skip.shape[1],
+            h=hh, w=ww, interpret=interpret, classifier=classifier)
+
+    if classifier is not None:
+        logits = _from_cm(new, h, w)[..., :n_cls]
+    else:
+        # wide classifier kernels fall back to the XLA tail
+        feats = new.astype(jnp.float32)
+        norm = jnp.maximum(
+            jnp.sqrt(jnp.sum(feats * feats, axis=1, keepdims=True)), 1e-12)
+        pad = model.kernel_size // 2
+        nf = _from_cm((feats / norm).astype(dtype), h, w)
+        logits = jax.lax.conv_general_dilated(
+            nf, cl_p["kernel"].astype(dtype), (1, 1),
+            ((pad, pad), (pad, pad)), dimension_numbers=DN)
+        logits = logits.astype(jnp.float32) + cl_p["bias"]
+        logits = logits / 0.05  # classifier temperature (T=0.05)
+
+    if use_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    return logits
