@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-5
 DN = ("NHWC", "HWIO", "NHWC")
-_VMEM_BUDGET = 13 * 1024 * 1024
+_VMEM_BUDGET = 48 * 1024 * 1024
 LANE = 128
 
 
@@ -103,8 +103,9 @@ def _pick_tile_rows(h, w, c_total, growth, n_layers, itemsize, align):
         p = trw + 2 * _ceil(n_layers * w, align)
         f_b = _ceil(c_total, 8) * p * itemsize
         g_b = _ceil(9 * growth, 8) * p * 4
+        x_b = _ceil(c_total, 8) * trw * itemsize  # prefetch buffer bound
         tmp = LANE * p * (itemsize + 4)
-        return f_b + g_b + tmp <= _VMEM_BUDGET
+        return f_b + g_b + x_b + tmp <= _VMEM_BUDGET
 
     if fits(h, True):
         return h
@@ -119,7 +120,8 @@ def _pick_tile_rows(h, w, c_total, growth, n_layers, itemsize, align):
 # ---------------------------------------------------------------------------
 
 def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
-                        tile_rows, n_tiles, align, dtype, temp=None):
+                        tile_rows, n_tiles, align, dtype, temp=None,
+                        with_td=False):
     n_seg = len(seg_chans)
     seg_hbm = refs[:n_seg]
     scale_ref, shift_ref, wf_ref, bias_ref = refs[n_seg:n_seg + 4]
@@ -128,8 +130,22 @@ def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
     if temp is not None:
         wct_ref, cb_ref = refs[idx:idx + 2]
         idx += 2
-    out_hbm, f_ref, g_ref = refs[idx:idx + 3]
-    sems = refs[idx + 3]
+    td_sc_ref = td_sh_ref = td_wt_ref = td_b_ref = td_hbm = None
+    if with_td:
+        td_sc_ref, td_sh_ref, td_wt_ref, td_b_ref = refs[idx:idx + 4]
+        idx += 4
+    out_hbm = refs[idx]
+    idx += 1
+    if with_td:
+        td_hbm = refs[idx]
+        idx += 1
+    f_ref, g_ref, x_ref = refs[idx:idx + 3]
+    idx += 3
+    td_ref = None
+    if with_td:
+        td_ref = refs[idx]
+        idx += 1
+    sems = refs[idx]
 
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -142,23 +158,58 @@ def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
     nwd = _ceil(n * w, align)
     p_full = trw + 2 * nwd
 
-    # --- DMA the segments straight into their F row ranges ---------------
+    # --- DMA pipeline -----------------------------------------------------
     # circular pixel layout along lanes: [center trw | bottom nwd | top nwd]
     # (halo reads round up to 128 px; the slop occupies circular positions
-    # that are already outside the valid shrink region)
+    # that are already outside the valid shrink region).  The CENTER copy
+    # (the bulk of the input) is double-buffered through x_ref: each step
+    # prefetches the NEXT grid step's center while this step computes, and
+    # only pays a VMEM->VMEM pass to move the staged input into F.  Halo
+    # copies are small and stay synchronous.  The out-DMA is awaited at
+    # the START of the next step (it reads F, which the x_ref->F move
+    # would otherwise clobber).
+    nb = pl.num_programs(0)
+    first = jnp.logical_and(b == 0, t == 0)
+    is_last = jnp.logical_and(b == nb - 1, t == nt - 1)
+    t_nx = jax.lax.rem(t + 1, nt)
+    b_nx = b + jax.lax.div(t + 1, nt)
     c0 = pl.multiple_of(t * trw, align)
     b0 = pl.multiple_of(t * trw + trw, align)
     t0 = pl.multiple_of(t * trw - nwd, align)
+    c0_nx = pl.multiple_of(t_nx * trw, align)
+
+    def _center(bb, px, i, off):
+        return pltpu.make_async_copy(
+            seg_hbm[i].at[bb, :, pl.ds(px, trw)],
+            x_ref.at[off:off + seg_chans[i], :], sems.at[0])
+
+    @pl.when(first)
+    def _():
+        off = 0
+        for i in range(n_seg):
+            _center(b, c0, i, off).start()
+            off += seg_chans[i]
+
+    # the first step's own copy, or the previous step's prefetch
     off = 0
     for i in range(n_seg):
-        c_seg = seg_chans[i]
-        center = pltpu.make_async_copy(
-            seg_hbm[i].at[b, :, pl.ds(c0, trw)],
-            f_ref.at[off:off + c_seg, 0:trw], sems.at[0])
-        center.start()
-        if n_tiles > 1:
-            # single-tile grids never run halo DMAs; emitting them anyway
-            # would trip Mosaic's static bounds checks
+        _center(b, c0, i, off).wait()
+        off += seg_chans[i]
+    f_ref[0:c_in, 0:trw] = x_ref[0:c_in, :]
+
+    @pl.when(jnp.logical_not(is_last))
+    def _():
+        off = 0
+        for i in range(n_seg):
+            _center(b_nx, c0_nx, i, off).start()
+            off += seg_chans[i]
+
+    if n_tiles > 1:
+        # single-tile grids never run halo DMAs; emitting them anyway
+        # would trip Mosaic's static bounds checks
+        off = 0
+        for i in range(n_seg):
+            c_seg = seg_chans[i]
             bottom = pltpu.make_async_copy(
                 seg_hbm[i].at[b, :, pl.ds(b0, nwd)],
                 f_ref.at[off:off + c_seg, trw:trw + nwd], sems.at[1])
@@ -174,8 +225,6 @@ def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
             def _():
                 top.start()
 
-        center.wait()
-        if n_tiles > 1:
             @pl.when(t < nt - 1)
             def _():
                 bottom.wait()
@@ -183,7 +232,7 @@ def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
             @pl.when(t > 0)
             def _():
                 top.wait()
-        off += c_seg
+            off += c_seg
 
     # halo regions whose DMA was skipped hold stale data; zero them so the
     # mask arithmetic below stays finite (NaN * 0 == NaN)
@@ -243,6 +292,33 @@ def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
             f_ref.at[c_lo:c_total, 0:trw],
             out_hbm.at[b, :, pl.ds(c0, trw)], sems.at[3])
         copy_out.start()
+        if not with_td:
+            copy_out.wait()
+            return
+        # --- fused TransitionDown (pre-pool): BN -> ReLU -> 1x1 conv ----
+        # (reference layers.py:46-57; the 2x2 maxpool runs in XLA where
+        # the [B, C, H, W] window reduction is natural).  The M dimension
+        # is chunked so the f32 product reuses the G scratch rows.
+        for mc in range(0, c_total, LANE):
+            cm_ = min(LANE, c_total - mc)
+            u = None
+            for kc in range(0, c_total, LANE):
+                ck = min(LANE, c_total - kc)
+                blk = f_ref[kc:kc + ck, :].astype(jnp.float32)
+                a = (jnp.maximum(blk * td_sc_ref[kc:kc + ck, :]
+                                 + td_sh_ref[kc:kc + ck, :], 0.0)
+                     * mask_v).astype(dtype)
+                part = jnp.dot(td_wt_ref[mc:mc + cm_, kc:kc + ck], a,
+                               preferred_element_type=jnp.float32)
+                u = part if u is None else u + part
+            # flax rounding order: conv f32-accum -> cast -> add bias
+            td_ref[0:cm_, :] = (u.astype(dtype)
+                                + td_b_ref[mc:mc + cm_, :].astype(dtype))
+            td_copy = pltpu.make_async_copy(
+                td_ref.at[0:cm_, 0:trw],
+                td_hbm.at[b, pl.ds(mc, cm_), pl.ds(c0, trw)], sems.at[2])
+            td_copy.start()
+            td_copy.wait()
         copy_out.wait()
         return
 
@@ -262,7 +338,8 @@ def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
 
 
 def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
-                         tile_rows=None, interpret=False, classifier=None):
+                         tile_rows=None, interpret=False, classifier=None,
+                         transition=None):
     """Run one DenseBlock (inference) as a fused Pallas kernel,
     channel-major.
 
@@ -305,21 +382,33 @@ def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
     else:
         out_shape = jax.ShapeDtypeStruct((bsz, c_total - c_lo, p_pad),
                                          dtype)
+    if transition is not None:
+        td_sc, td_sh, td_wt, td_b = transition
+        extra_in += [td_sc.astype(jnp.float32), td_sh.astype(jnp.float32),
+                     td_wt.astype(dtype), td_b.astype(jnp.float32)]
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bsz, c_total, p_pad), dtype))
     kernel = functools.partial(
         _dense_block_kernel, n_layers=n_layers, growth=growth,
         seg_chans=seg_chans, c_lo=c_lo, w=w, h=h, tile_rows=tile_rows,
-        n_tiles=nt, align=align, dtype=dtype, temp=temp)
+        n_tiles=nt, align=align, dtype=dtype, temp=temp,
+        with_td=transition is not None)
     p_scr = trw + 2 * _ceil(n_layers * w, align)
     return pl.pallas_call(
         kernel,
         grid=(bsz, nt),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(segments) + [
             pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra_in),
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY)
+                   if transition is None else
+                   (pl.BlockSpec(memory_space=pl.ANY),) * 2),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((c_total, p_scr), dtype),
             pltpu.VMEM((max(9 * growth, 8), p_scr), jnp.float32),
+            pltpu.VMEM((c_in, trw), dtype),
+        ] + ([pltpu.VMEM((LANE, p_scr), dtype)]
+             if transition is not None else []) + [
             pltpu.SemaphoreType.DMA((4,)),
         ],
         # v5e has 128 MiB VMEM; the default 16 MiB scoped cap is too small
@@ -370,16 +459,20 @@ def _bn_relu_cm(x, p, s):
     return jnp.maximum(x.astype(jnp.float32) * scale + shift, 0.0)
 
 
-def _transition_down_cm(x, h, w, p, s, dtype, align=LANE):
-    """BN -> ReLU -> 1x1 conv -> (eval dropout = id) -> maxpool2, all in
-    [B, C, P] channel-major layout (the 1x1 conv is an einsum)."""
+def _fold_transition(p, s):
+    """TransitionDown params -> kernel-epilogue form (BN folded, conv
+    kernel transposed for the channel-major GEMM)."""
+    bn, bs = p["BatchNorm_0"], s["BatchNorm_0"]
+    sc = (bn["scale"] * jax.lax.rsqrt(bs["var"] + EPS))
+    sh = bn["bias"] - bs["mean"] * sc
+    return (sc[:, None], sh[:, None], p["Conv_0"]["kernel"][0, 0].T,
+            p["Conv_0"]["bias"][:, None])
+
+
+def _pool2_cm(x, h, w, align=LANE):
+    """2x2 maxpool (floor) on a channel-major [B, C, Ppad] tensor."""
     bsz = x.shape[0]
-    y = _bn_relu_cm(x, p["BatchNorm_0"], s["BatchNorm_0"]).astype(dtype)
-    k = p["Conv_0"]["kernel"][0, 0].astype(dtype)  # [C, C_out]
-    y = jnp.einsum("bcp,cd->bdp", y, k,
-                   preferred_element_type=jnp.float32).astype(dtype)
-    y = y + p["Conv_0"]["bias"].astype(dtype)[:, None]
-    y = y[:, :, :h * w].reshape(bsz, -1, h, w)
+    y = x[:, :, :h * w].reshape(bsz, -1, h, w)
     y = jax.lax.reduce_window(
         y, jnp.array(-jnp.inf, y.dtype), jax.lax.max,
         (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
@@ -438,11 +531,12 @@ def pallas_apply(model, variables, x, *, use_softmax: bool = True,
     for i, n in enumerate(model.down_blocks):
         hh, ww = dims[-1]
         folded = _fold(fe_p, fe_s, f"denseDown{i}", n, g, dtype)
-        cur = fused_dense_block_cm([cur], folded, n_layers=n, growth=g,
-                                   c_lo=0, h=hh, w=ww, interpret=interpret)
+        td = _fold_transition(fe_p[f"transDown{i}"], fe_s[f"transDown{i}"])
+        cur, td_pre = fused_dense_block_cm(
+            [cur], folded, n_layers=n, growth=g, c_lo=0, h=hh, w=ww,
+            interpret=interpret, transition=td)
         skips.append(cur)
-        cur = _transition_down_cm(cur, hh, ww, fe_p[f"transDown{i}"],
-                                  fe_s[f"transDown{i}"], dtype, align)
+        cur = _pool2_cm(td_pre, hh, ww, align)
         dims.append((hh // 2, ww // 2))
 
     hh, ww = dims[-1]
