@@ -25,16 +25,17 @@ log = logging.getLogger(__name__)
 
 
 def predict_video(input_video: str, output_video: str, trainer, state,
-                  batch_size: int = 64) -> int:
+                  batch_size: int = 64, predict=None) -> int:
     from ..data import videoio
 
+    predict = predict or trainer.predict_step
     fps = videoio.fps_of(input_video)
     n = 0
     with videoio.AsyncVideoWriter(output_video,
                                   frame_size=(trainer.cfg.width, trainer.cfg.height),
                                   fps=fps) as w:
         for frames in videoio.read_frames(input_video, batch_size):
-            preds = np.asarray(trainer.predict_step(state, frames))
+            preds = np.asarray(predict(state, frames))
             for frame, pred in zip(frames, preds):
                 out = cv2.resize(frame, (trainer.cfg.width, trainer.cfg.height),
                                  interpolation=cv2.INTER_LANCZOS4)
@@ -55,6 +56,9 @@ def main(args=None) -> int:
     p.add_argument("--videoOuts", type=str, default=["./demoVideo.avi"], nargs="+")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite", "encdec"], default="67")
+    p.add_argument("--fused", action="store_true",
+                   help="run inference through the fused-Pallas FC-DenseNet "
+                        "forward (same outputs, ~2x on TPU)")
     args = p.parse_args(args)
     common.setup_runtime()
 
@@ -68,7 +72,9 @@ def main(args=None) -> int:
     for vin, vout in zip(args.videoIns, args.videoOuts):
         if os.path.exists(vout):
             os.remove(vout)
-        n = predict_video(vin, vout, trainer, state, args.batch_size)
+        n = predict_video(vin, vout, trainer, state, args.batch_size,
+                          predict=(trainer.predict_step_fused if args.fused
+                                   else trainer.predict_step))
         log.info("%s -> %s (%d frames)", vin, vout, n)
         total += n
     return total

@@ -39,7 +39,9 @@ def build_predict_fn(args):
         arch=args.arch, height=args.height, width=args.width)
 
     if not args.int8:
-        return (lambda frames: trainer.predict_step(state, frames),
+        predict = (trainer.predict_step_fused if getattr(args, "fused", False)
+                   else trainer.predict_step)
+        return (lambda frames: predict(state, frames),
                 args.height, args.width)
 
     if args.arch != "lite":
@@ -86,6 +88,9 @@ def main(args=None) -> None:
     p.add_argument("--num_cls", type=int, default=4)
     p.add_argument("--width", type=int, default=160)
     p.add_argument("--height", type=int, default=120)
+    p.add_argument("--fused", action="store_true",
+                   help="serve FC-DenseNet archs through the "
+                        "fused-Pallas forward (~2x on TPU)")
     p.add_argument("--int8", action="store_true",
                    help="serve the PTQ int8 path (lite arch only)")
     p.add_argument("--calib_dir", default=None,

@@ -81,7 +81,9 @@ def load_trainer_and_state(module_type: str, checkpoint_path: str,
     return trainer, state
 
 
-def sample_montage(trainer, state, train_paths, real_paths, out_path):
+def sample_montage(trainer, state, train_paths, real_paths, out_path,
+                   predict=None):
+    predict = predict or trainer.predict_step
     rows = []
     for tp, rp in zip(train_paths, real_paths):
         imgs = []
@@ -90,7 +92,7 @@ def sample_montage(trainer, state, train_paths, real_paths, out_path):
             img = cv2.resize(img, (trainer.cfg.width, trainer.cfg.height),
                              interpolation=cv2.INTER_LANCZOS4)
             imgs.append(img)
-        preds = np.asarray(trainer.predict_step(state, np.stack(imgs)))
+        preds = np.asarray(predict(state, np.stack(imgs)))
         row = np.concatenate([imgs[0], overlay_prediction(imgs[0], preds[0]),
                               imgs[1], overlay_prediction(imgs[1], preds[1])], axis=1)
         rows.append(row)
@@ -112,6 +114,9 @@ def main(args=None) -> dict:
     p.add_argument("--testDataPath", type=str)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--arch", choices=ARCHES, default="67")
+    p.add_argument("--fused", action="store_true",
+                   help="serve predictions through the fused-Pallas "
+                        "FC-DenseNet forward (same outputs, ~2x on TPU)")
     p.add_argument("--height", type=int, default=120)
     p.add_argument("--width", type=int, default=160)
     args = p.parse_args(args)
@@ -129,6 +134,8 @@ def main(args=None) -> dict:
     trainer, state = load_trainer_and_state(
         args.module_type, args.checkpointPath, arch=args.arch,
         height=args.height, width=args.width)
+    predict = (trainer.predict_step_fused if args.fused
+               else trainer.predict_step)
     results: dict = {}
 
     if args.trainDataPath and args.realDataPath:
@@ -137,7 +144,7 @@ def main(args=None) -> dict:
         real_paths = random.sample(
             glob.glob(os.path.join(args.realDataPath, "*.png")), args.showCount)
         out = sample_montage(trainer, state, train_paths, real_paths,
-                             "results/samplePredictions.png")
+                             "results/samplePredictions.png", predict=predict)
         log.info("wrote %s", out)
         results["montage"] = out
 
@@ -148,7 +155,7 @@ def main(args=None) -> dict:
         for idx in batched(np.arange(len(ds)), args.batch_size, drop_last=False):
             images, labels = ds.read_batch(idx)
             outs.append(jax.device_get(trainer.eval_step(state, images, labels)))
-            preds = np.asarray(trainer.predict_step(state, images))
+            preds = np.asarray(predict(state, images))
             _, y = eval_batch(images, labels, trainer.cfg)
             conf += np.asarray(confusion_matrix(preds, np.asarray(y), 4))
         logs = summarize_weighted(outs)

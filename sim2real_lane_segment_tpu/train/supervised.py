@@ -115,3 +115,24 @@ class SupervisedTrainer:
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False, use_softmax=False)
         return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+
+    def predict_step_fused(self, state: TrainState, images: jax.Array):
+        """predict_step through the fused-Pallas FC-DenseNet forward
+        (models/tiramisu_pallas.py) — same outputs (parity-gated), ~2x
+        the throughput of the standard forward on TPU for the 57/67/103
+        architectures.  Models without fused support fall back to the
+        standard path."""
+        from ..models.tiramisu import FCDenseNet
+        if not isinstance(self.model, FCDenseNet):
+            return self.predict_step(state, images)
+        return self._predict_fused(state, images)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _predict_fused(self, state: TrainState, images: jax.Array):
+        from ..models.tiramisu_pallas import pallas_apply
+        x, _ = eval_batch(images, None, self.cfg, with_labels=False)
+        out = pallas_apply(
+            self.model, {"params": state.params,
+                         "batch_stats": state.batch_stats},
+            x, use_softmax=False)
+        return jnp.argmax(out, axis=-1).astype(jnp.uint8)

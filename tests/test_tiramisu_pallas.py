@@ -150,3 +150,19 @@ def test_fused_block_lane_padded_segments():
     assert real == 16
     np.testing.assert_allclose(np.asarray(out[..., :16]), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_predict_step_fused_matches_standard():
+    """The CLI-facing fused predictor must produce the same class maps as
+    the standard jitted predict_step."""
+    from sim2real_lane_segment_tpu.train.supervised import SupervisedTrainer
+
+    trainer = SupervisedTrainer(num_cls=4, augment=False, model=tiny_model(),
+                                height=24, width=32)
+    state = trainer.init_state(jax.random.key(0))
+    imgs = np.asarray(
+        jax.random.randint(jax.random.key(1), (2, 24, 32, 3), 0, 255),
+        np.uint8)
+    ref = np.asarray(trainer.predict_step(state, imgs))
+    out = np.asarray(trainer.predict_step_fused(state, imgs))
+    np.testing.assert_array_equal(out, ref)
