@@ -9,9 +9,15 @@ Measures the framework's SERVING model, LaneNetLite — the distilled
 student that matches/beats the FCDenseNet67 teacher's IoU (teacher 86.5
 vs student 88.2 test IoU on generated sim data, RESULTS.md) at ~30x its
 speed.  Set BENCH_MODEL=fcdensenet67 to measure the teacher instead,
-served through the segment-wise forward (models/tiramisu_fast.py) that
-eliminates the dense-concat HBM re-materialization (1 525 fps with the
-standard forward in round 1).
+served through the fused-Pallas forward (models/tiramisu_pallas.py).
+
+Measurement harness: the dev-environment TPU is driven through a relay
+whose per-dispatch overhead is ~1.3 ms — comparable to the network's
+own device time — so the sustained-throughput loop runs ON DEVICE as a
+``lax.scan`` over independent batch slices (one dispatch, K sequential
+batch passes, each consuming its own input slice so no work can be
+hoisted/elided).  This is the production streaming shape: frames queue
+on device, the chip never waits for the host.
 """
 from __future__ import annotations
 
@@ -43,65 +49,82 @@ def main() -> None:
         from sim2real_lane_segment_tpu.models.tiramisu_pallas import (
             pallas_apply)
         model = fcdensenet67(4, policy=DEFAULT_POLICY)
-        forward = lambda variables, x: pallas_apply(model, variables, x,
-                                                    use_softmax=False)
+        variables = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((1, 120, 160, 3), jnp.float32))
+
+        def predict(images_u8):
+            x, _ = eval_batch(images_u8, None, cfg, with_labels=False)
+            y = pallas_apply(model, variables, x, use_softmax=False)
+            return jnp.argmax(y, axis=-1).astype(jnp.uint8)
     elif which == "fcdensenet67_segsum":
         # round-1 segment-wise XLA path, kept for comparison
         from sim2real_lane_segment_tpu.models.tiramisu import fcdensenet67
         from sim2real_lane_segment_tpu.models.tiramisu_fast import fast_apply
         model = fcdensenet67(4, policy=DEFAULT_POLICY)
-        forward = lambda variables, x: fast_apply(model, variables, x,
-                                                  use_softmax=False)
+        variables = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((1, 120, 160, 3), jnp.float32))
+
+        def predict(images_u8):
+            x, _ = eval_batch(images_u8, None, cfg, with_labels=False)
+            y = fast_apply(model, variables, x, use_softmax=False)
+            return jnp.argmax(y, axis=-1).astype(jnp.uint8)
     elif which == "lanenet_int8":
-        # int8 PTQ serving path (models/lanenet_int8.py): v5e MXU int8
-        # runs ~2x bf16 on the same conv shapes
+        # int8 PTQ serving path (models/lanenet_int8.py)
         from sim2real_lane_segment_tpu.models.lanenet_int8 import (
             int8_apply, quantize_lanenet)
         from sim2real_lane_segment_tpu.models.lanenet_lite import LaneNetLite
         model = LaneNetLite(n_classes=4, policy=DEFAULT_POLICY)
-        forward = None
-    else:
-        from sim2real_lane_segment_tpu.models.lanenet_lite import LaneNetLite
-        model = LaneNetLite(n_classes=4, policy=DEFAULT_POLICY)
-        forward = lambda variables, x: model.apply(variables, x, train=False,
-                                                   use_softmax=False)
-    variables = jax.jit(model.init)(jax.random.key(0),
-                                    jnp.zeros((1, 120, 160, 3), jnp.float32))
-    if which == "lanenet_int8":
+        variables = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((1, 120, 160, 3), jnp.float32))
         calib = np.random.default_rng(1).integers(
             0, 255, (8, 120, 160, 3), dtype=np.uint8)
         calib_x, _ = eval_batch(jnp.asarray(calib), None, cfg,
                                 with_labels=False)
         qn = quantize_lanenet(model, variables, calib_x)
-        forward = lambda _vars, x: int8_apply(qn, x)
+
+        def predict(images_u8):
+            x, _ = eval_batch(images_u8, None, cfg, with_labels=False)
+            return jnp.argmax(int8_apply(qn, x), axis=-1).astype(jnp.uint8)
+    else:
+        from sim2real_lane_segment_tpu.models.lanenet_lite import (
+            LaneNetLite, serve_apply)
+        model = LaneNetLite(n_classes=4, policy=DEFAULT_POLICY)
+        variables = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((1, 120, 160, 3), jnp.float32))
+
+        def predict(images_u8):
+            return serve_apply(model, variables, images_u8)
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    k_slices = int(os.environ.get("BENCH_SLICES", "8"))
 
     @jax.jit
-    def infer(images_u8):
-        x, _ = eval_batch(images_u8, None, cfg, with_labels=False)
-        return jnp.argmax(forward(variables, x), axis=-1).astype(jnp.uint8)
+    def infer_stream(stacked_u8):
+        # one dispatch, K sequential batch passes; every pass reads its
+        # own slice so nothing is loop-invariant
+        return jax.lax.scan(lambda c, imgs: (c, predict(imgs)),
+                            0, stacked_u8)[1]
 
-    batch = 256
-    frames_host = np.random.default_rng(0).integers(
-        0, 255, (batch, 120, 160, 3), dtype=np.uint8)
     # Device-resident input: the production pipeline (sim render -> label
     # extraction -> training/inference) is on-device end-to-end, and this
     # dev chip is fed through a slow relay whose H2D bandwidth would
-    # otherwise dominate the measurement.  Two alternating buffers so no
+    # otherwise dominate the measurement.  Two alternating stacks so no
     # output-aliasing tricks can elide work.
-    frames_a = jax.device_put(frames_host)
-    frames_b = jax.device_put(frames_host[::-1].copy())
+    host = np.random.default_rng(0).integers(
+        0, 255, (k_slices, batch, 120, 160, 3), dtype=np.uint8)
+    stack_a = jax.device_put(host)
+    stack_b = jax.device_put(host[::-1].copy())
 
-    # warmup/compile
-    infer(frames_a).block_until_ready()
+    infer_stream(stack_a).block_until_ready()  # warmup/compile
 
-    n_iters = 20
+    n_iters = 8
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = infer(frames_a if i % 2 == 0 else frames_b)
+        out = infer_stream(stack_a if i % 2 == 0 else stack_b)
     out.block_until_ready()
     dt = time.perf_counter() - t0
 
-    fps = batch * n_iters / dt
+    fps = k_slices * batch * n_iters / dt
     print(json.dumps({
         "metric": "seg_inference_fps_160x120",
         "value": round(fps, 1),

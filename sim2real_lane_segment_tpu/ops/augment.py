@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .colorspace import shift_hsv
-from .resize import IMAGENET_MEAN, IMAGENET_STD, normalize, resize_bilinear, \
-    resize_nearest_label, to_gray
+from .resize import IMAGENET_MEAN, IMAGENET_STD, normalize, \
+    normalize_flat, resize_bilinear, resize_nearest_label, to_gray
 
 
 class AugmentConfig(NamedTuple):
@@ -191,7 +191,7 @@ def eval_batch(images: jax.Array, labels: jax.Array | None,
         x = resize_bilinear(images, cfg.height, cfg.width)
     if cfg.gray:
         x = to_gray(x, cfg.channel_order)
-    x = normalize(x)
+    x = normalize_flat(x)
     y = None
     if with_labels and labels is not None:
         y = labels

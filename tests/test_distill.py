@@ -81,3 +81,22 @@ def test_legacy_flat_artifact_loads():
     out = trainer.predict_step(
         loaded, np.zeros((1, 120, 160, 3), np.uint8))
     assert out.shape == (1, 120, 160)
+
+
+def test_serve_apply_matches_reference_path():
+    """serve_apply (restructured NCHW tail + flat normalize) must agree
+    with the plain eval_batch -> model.apply -> argmax serving path."""
+    from sim2real_lane_segment_tpu.models.lanenet_lite import serve_apply
+    from sim2real_lane_segment_tpu.ops.augment import AugmentConfig, eval_batch
+
+    m = LaneNetLite(n_classes=4, policy=F32_POLICY)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 120, 160, 3)))
+    u8 = jnp.asarray(np.random.default_rng(7).integers(
+        0, 255, (4, 120, 160, 3), dtype=np.uint8))
+
+    x, _ = eval_batch(u8, None, AugmentConfig(), with_labels=False)
+    ref = jnp.argmax(m.apply(v, x, use_softmax=False), axis=-1)
+    out = serve_apply(m, v, u8)
+    assert out.dtype == jnp.uint8
+    agree = float(jnp.mean((ref == out).astype(jnp.float32)))
+    assert agree >= 0.999, agree
