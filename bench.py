@@ -68,8 +68,9 @@ def main() -> None:
             x, _ = eval_batch(images_u8, None, cfg, with_labels=False)
             y = fast_apply(model, variables, x, use_softmax=False)
             return jnp.argmax(y, axis=-1).astype(jnp.uint8)
-    elif which == "lanenet_int8":
-        # int8 PTQ serving path (models/lanenet_int8.py)
+    elif which in ("lanenet_int8", "lanenet_int8_pallas"):
+        # int8 PTQ serving paths: XLA graph (models/lanenet_int8.py) or
+        # the fused Pallas body kernel (models/lanenet_pallas.py)
         from sim2real_lane_segment_tpu.models.lanenet_int8 import (
             int8_apply, quantize_lanenet)
         from sim2real_lane_segment_tpu.models.lanenet_lite import LaneNetLite
@@ -82,9 +83,18 @@ def main() -> None:
                                 with_labels=False)
         qn = quantize_lanenet(model, variables, calib_x)
 
-        def predict(images_u8):
-            x, _ = eval_batch(images_u8, None, cfg, with_labels=False)
-            return jnp.argmax(int8_apply(qn, x), axis=-1).astype(jnp.uint8)
+        if which == "lanenet_int8_pallas":
+            from sim2real_lane_segment_tpu.models.lanenet_pallas import (
+                pallas_int8_serve)
+            ft = int(os.environ.get("BENCH_FT", "1"))
+
+            def predict(images_u8):
+                return pallas_int8_serve(qn, images_u8, ft=ft)
+        else:
+            def predict(images_u8):
+                x, _ = eval_batch(images_u8, None, cfg, with_labels=False)
+                return jnp.argmax(int8_apply(qn, x),
+                                  axis=-1).astype(jnp.uint8)
     else:
         from sim2real_lane_segment_tpu.models.lanenet_lite import (
             LaneNetLite, serve_apply)

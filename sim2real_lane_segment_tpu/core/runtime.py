@@ -32,5 +32,10 @@ def init_distributed() -> None:
     """
     import jax
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kwargs = {"coordinator_address": addr}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
