@@ -10,7 +10,9 @@ wire protocol as its robot/sim bridges (duckiebot_env.py:31-38).
     python -m sim2real_lane_segment_tpu.cli.serve \
         --checkpointPath results/checkpoints --arch lite --port 8903
 
-``--int8`` serves the PTQ-quantized LaneNetLite (models/lanenet_int8.py)
+``--int8`` serves the PTQ-quantized LaneNetLite (models/lanenet_int8.py);
+``--int8 --fused`` serves it through the fused Pallas body kernel
+(models/lanenet_pallas.py)
 calibrated on ``--calib_dir`` PNGs (or synthetic frames without it).
 """
 from __future__ import annotations
@@ -67,11 +69,20 @@ def build_predict_fn(args):
         trainer.model,
         {"params": state.params, "batch_stats": state.batch_stats}, calib_x)
 
-    @jax.jit
-    def predict(frames_u8):
-        x, _ = eval_batch(frames_u8, None, trainer.cfg, with_labels=False)
-        out = int8_apply(qn, x)
-        return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+    if getattr(args, "fused", False):
+        # fused int8 Pallas body kernel (models/lanenet_pallas.py)
+        from ..models.lanenet_pallas import pallas_int8_serve
+
+        @jax.jit
+        def predict(frames_u8):
+            return pallas_int8_serve(qn, frames_u8, cfg=trainer.cfg)
+    else:
+        @jax.jit
+        def predict(frames_u8):
+            x, _ = eval_batch(frames_u8, None, trainer.cfg,
+                              with_labels=False)
+            out = int8_apply(qn, x)
+            return jnp.argmax(out, axis=-1).astype(jnp.uint8)
 
     return predict, args.height, args.width
 

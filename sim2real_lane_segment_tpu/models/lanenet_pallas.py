@@ -1,40 +1,47 @@
-"""Fused int8 Pallas serving kernel for LaneNetLite.
+"""Fused int8 Pallas body kernel for LaneNetLite — experimental.
 
-Why: the serving profile (see models/lanenet_lite.serve_apply) shows the
-body's 3x3 convs at ~65% MXU in bf16 — near the ceiling set by the 64/96
-output-channel widths — so the remaining compute lever is the v5e's 2x
-int8 MXU rate.  The existing XLA int8 path (models/lanenet_int8.py)
-measured ~parity with bf16 because every conv site pays a dequant ->
-round -> clip -> requant elementwise chain through HBM; this kernel runs
-the ENTIRE residual body per frame inside one Pallas program with all
-activations VMEM-resident:
+Motivation: the serving profile (models/lanenet_lite.serve_apply) shows
+the bf16 body at ~65% MXU — near the ceiling set by the 64/96-channel
+widths — leaving the v5e's 2x int8 MXU rate as the remaining compute
+lever.  This kernel runs the ENTIRE residual body + 1x1 head per frame
+inside one Pallas program with all activations VMEM-resident:
 
 - row-major [pixels, channels] layout at the /4 feature resolution
   (30x40 = 1200 px -> 1216 sublanes): the natural reshape of the NHWC
   stem output, so nothing is transposed on either side of the kernel;
 - each 3x3 (optionally dilated) conv builds its im2row operand as a
-  single lane-concat of the 9 tap-shifted int8 views (``pltpu.roll``
-  along sublanes + border select to the zero-point code, reproducing
-  the XLA path's exact -zp padding) and runs ONE int8 x int8 -> int32
-  MXU GEMM [1216, 9*Cin] @ [9*Cin, Cout];
-- dequant + bias + relu + requant epilogues stay in registers/VMEM and
-  replicate ``lanenet_int8._conv_i8``/``_quant`` arithmetic op-for-op
-  (int32 accumulation is order-exact, f32 epilogues use the same
-  operation sequence), so outputs track the XLA int8 path bit-closely
-  (gated in tests/test_lanenet_pallas.py);
-- the residual stream is kept in f32 exactly like ``int8_apply`` (the
-  un-quantized conv outputs feed the residual adds);
-- the 1x1 class head is fused as a final f32 GEMM epilogue; the x4
-  bilinear upsample + argmax run in XLA channel-first (cheap — the
-  serve_apply tail).
+  lane-concat of the 9 tap-shifted int8 views (static ``jnp.roll``
+  along sublanes — Mosaic has no dynamic_rotate lowering for int8 —
+  plus a border select to the zero-point code, reproducing the XLA
+  path's exact -zp padding) and runs ONE int8 x int8 -> int32 MXU GEMM
+  [1216, 9*Cin] @ [9*Cin, Cout];
+- dequant/bias/relu/requant epilogues replicate
+  ``lanenet_int8._conv_i8``/``_quant`` op-for-op, so outputs are
+  BIT-EXACT vs the XLA int8 path (verified on TPU: max logit diff 0.0;
+  gated in tests/test_lanenet_pallas.py in interpret mode).
+
+MEASURED OUTCOME (TPU v5e, honest on-device scan harness — see
+QUIRKS.md "benchmarking through the dev relay"): the fused body runs
+~7.2 ms/256 frames vs ~2.8 ms for XLA's bf16 body and ~3.1 ms for
+XLA's int8 graph.  Two structural costs dominate: (a) the im2row
+tap-build + requant chains are VPU passes that Mosaic executes in
+sequence with the MXU GEMMs (no producer pipelining like XLA's fused
+conv epilogues), and (b) a per-grid-step overhead of ~10 us/frame-step
+(copy-only kernel floor ~2.6 ms/256) that batching frames per step
+(``ft``) did not recover.  CONCLUSION: XLA's conv lowering wins for
+these shapes; the serving default remains bf16 ``serve_apply``
+(~62-65k fps/chip), with this kernel kept as a correct, parity-gated
+alternative (``BENCH_MODEL=lanenet_int8_pallas``, ``s2r-serve --int8
+--fused``) and as the worked example of the kernel-authoring
+methodology.
 
 The stem's two strided convs stay in XLA (reusing the int8 sites via
-``lanenet_int8._conv_i8`` — ~0.16 ms/256 at 120x160/60x80, not worth a
-strided-kernel variant).
+``lanenet_int8._conv_i8``); the x4 bilinear upsample + argmax tail runs
+channel-first in XLA (the serve_apply tail).
 
-Layer structure mirrors the reference's serving model role (the student
-that replaces per-frame batch-1 inference, makeDemoVideo.py:15-47);
-quantization scheme documented in models/lanenet_int8.py.
+Reference role: the serving model replacing per-frame batch-1 inference
+(rightLaneNetwork/makeDemoVideo.py:15-47); quantization scheme in
+models/lanenet_int8.py.
 """
 from __future__ import annotations
 
@@ -114,7 +121,7 @@ def _body_kernel(*refs, blocks, h, w, p_pad, c_stem, n_cls_pad, ft,
 
     refs: x_ref [ft*p_pad, c_stem] f32, per-conv (wq, deq, zpsum, bias)
     ..., head_w [c_last, n_cls_pad] f32, head_b [1, n_cls_pad] f32,
-    out_ref [ft*p_pad, n_cls_pad] f32, scratch h_ref / q_ref.
+    out_ref [ft*p_pad, n_cls_pad] f32.
     """
     x3_ref = refs[0]
     idx = 1
@@ -125,7 +132,6 @@ def _body_kernel(*refs, blocks, h, w, p_pad, c_stem, n_cls_pad, ft,
             idx += 4
     head_w, head_b = refs[idx:idx + 2]
     out3_ref = refs[idx + 2]
-    h_ref, q_ref = refs[idx + 3:idx + 5]
 
     n_px = ft * p_pad
     # frame-local row/col of every sublane position (pad rows land on
@@ -144,7 +150,9 @@ def _body_kernel(*refs, blocks, h, w, p_pad, c_stem, n_cls_pad, ft,
                 off = (ky * w + kx) * d
                 qs = q_src_slice
                 if off != 0:
-                    qs = pltpu.roll(qs, shift=(-off) % n_px, axis=0)
+                    # static sublane rotate: Mosaic has no dynamic_rotate
+                    # lowering for int8, but static jnp.roll lowers fine
+                    qs = jnp.roll(qs, (-off) % n_px, axis=0)
                 valid = ((row + ky * d >= 0) & (row + ky * d < h)
                          & (col + kx * d >= 0) & (col + kx * d < w))
                 qs = jnp.where(valid, qs,
@@ -168,21 +176,20 @@ def _body_kernel(*refs, blocks, h, w, p_pad, c_stem, n_cls_pad, ft,
         return jnp.clip(q, -128, 127).astype(jnp.int8)
 
     # ----- body ------------------------------------------------------------
-    c_cur = c_stem
-    h_ref[:, 0:c_cur] = x3_ref[0, :, :]
+    # pure value dataflow: Mosaic register-allocates the activation
+    # stream; scratch-ref round trips through partial lane slices of a
+    # max-width buffer measured ~100x slower than the ops themselves
+    hf = x3_ref[0, :, :]
     ci = 0
     for specs in blocks:
         s1 = specs[0]
         has_short = len(specs) == 3
-        cin, cout = s1.cin, specs[1].cout
 
-        hf = h_ref[:, 0:cin]
         q_in = quantize(hf, s1)
-        q_ref[:, 0:cin] = q_in
 
         # conv1 (+relu)
         r1 = conv_refs[ci]; ci += 1
-        a9 = taps_matmul(s1, q_ref[:, 0:cin])
+        a9 = taps_matmul(s1, q_in)
         acc = jax.lax.dot_general(
             a9, r1[0][:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -203,19 +210,16 @@ def _body_kernel(*refs, blocks, h, w, p_pad, c_stem, n_cls_pad, ft,
             ss = specs[2]
             rs = conv_refs[ci]; ci += 1
             acc = jax.lax.dot_general(
-                q_ref[:, 0:cin], rs[0][:, :], (((1,), (0,)), ((), ())),
+                q_in, rs[0][:, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             short = epilogue(acc, ss, *rs)
         else:
-            short = h_ref[:, 0:cout]
-
-        h_ref[:, 0:cout] = jnp.maximum(a2 + short, 0.0)
-        c_cur = cout
+            short = hf
+        hf = jnp.maximum(a2 + short, 0.0)
 
     # ----- fused 1x1 head (f32 GEMM) --------------------------------------
-    feats = h_ref[:, 0:c_cur]
     logits = jax.lax.dot_general(
-        feats, head_w[:, :], (((1,), (0,)), ((), ())),
+        hf, head_w[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + head_b[:, :]
     out3_ref[0, :, :] = logits
 
@@ -225,7 +229,6 @@ def _run_body(qn: QuantizedLaneNet, stem_f32, *, h, w, ft=1,
     """stem_f32: [B, h*w, c_stem] f32 -> logits [B, h*w, n_cls] f32."""
     blocks = _pack(qn)
     c_stem = blocks[0][0].cin
-    c_max = max(s.cout for specs in blocks for s in specs)
     bsz, n_px_in, _ = stem_f32.shape
     p_pad = _ceil(h * w, SUB)
     assert n_px_in == h * w
@@ -264,10 +267,6 @@ def _run_body(qn: QuantizedLaneNet, stem_f32, *, h, w, ft=1,
                                lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz // ft, ft * p_pad, n_cls_pad),
                                        jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((ft * p_pad, c_max), jnp.float32),
-            pltpu.VMEM((ft * p_pad, c_max), jnp.int8),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
