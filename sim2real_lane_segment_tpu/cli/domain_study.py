@@ -133,6 +133,10 @@ def main(args=None) -> dict:
     p.add_argument("--target-map", default="zigzag")
     p.add_argument("--regimes", nargs="+",
                    default=["baseline", "st", "hm", "cyclegan", "mme"])
+    p.add_argument("--batch_size", "-b", type=int, default=32,
+                   help="train batch size (reference recipe: 64)")
+    p.add_argument("--cg_batch", type=int, default=4,
+                   help="CycleGAN training batch size")
     p.add_argument("--cg_epochs", type=int, default=30,
                    help="CycleGAN training epochs for the cyclegan regime")
     args = p.parse_args(args)
@@ -167,13 +171,13 @@ def main(args=None) -> dict:
         if "baseline" in args.regimes or "mme" in args.regimes:
             t0 = time.time()
             base = SupervisedTrainer(**kw())
-            data = SimulatorDataModule(data_path="sourceData", batch_size=32,
+            data = SimulatorDataModule(data_path="sourceData", batch_size=args.batch_size,
                                        seed=42, load_into_memory=True)
             data.setup()
             b_state, _, _ = fit(base, base.init_state(jax.random.key(0)),
                                 data, max_epochs=args.epochs,
                                 out_dir="results/baseline")
-            tgt = SimulatorDataModule(data_path="targetData", batch_size=32,
+            tgt = SimulatorDataModule(data_path="targetData", batch_size=args.batch_size,
                                       seed=42)
             tgt.setup()
             results["baseline"] = run_eval(base.eval_step, b_state,
@@ -188,7 +192,7 @@ def main(args=None) -> dict:
             root = _build_tree(f"srd_{name}", "sourceData", "targetData",
                                args.n_labelled, hm=(name == "hm"))
             tr = SupervisedTrainer(**kw())
-            data = TwoDomainDataModule(data_path=root, batch_size=32,
+            data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
                                        seed=42, load_into_memory=True)
             data.setup()
             s, _, _ = fit(tr, tr.init_state(jax.random.key(1)), data,
@@ -205,13 +209,13 @@ def main(args=None) -> dict:
                 "--source_dir", f"{root}/source/input",
                 "--target_dir", f"{root}/target/unlabelled/input",
                 "--out", "results/cyclegan_gen",
-                "--epochs", str(args.cg_epochs), "-b", "4"])
+                "--epochs", str(args.cg_epochs), "-b", str(args.cg_batch)])
             # restyle the source inputs in place, then train like S&T
             sim2real_convert.main([
                 "--dataPath", f"{root}/source",
                 "--modelWeightsPath", "results/cyclegan_gen/g_ab.msgpack"])
             tr = SupervisedTrainer(**kw())
-            data = TwoDomainDataModule(data_path=root, batch_size=32,
+            data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
                                        seed=42, load_into_memory=True)
             data.setup()
             s, _, _ = fit(tr, tr.init_state(jax.random.key(2)), data,
@@ -230,7 +234,7 @@ def main(args=None) -> dict:
             m_state = mme.init_state(jax.random.key(3))
             m_state = m_state.replace(params=b_state.params,
                                       batch_stats=b_state.batch_stats)
-            data = TwoDomainMMEDataModule(data_path=root, batch_size=32,
+            data = TwoDomainMMEDataModule(data_path=root, batch_size=args.batch_size,
                                           seed=42, load_into_memory=True)
             data.setup()
 
