@@ -18,6 +18,9 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
     g.add_argument("--augment", action="store_true", help="Use data augmentation on training set")
     g.add_argument("-b", "--batch_size", type=int, default=32, help="Input batch size")
     g.add_argument("--load2memory", action="store_true", help="Pre-fetch data into memory first")
+    g.add_argument("--device_cache", action="store_true",
+                   help="Keep dataset splits resident in device HBM and gather "
+                        "batches on device (no per-step host transfer)")
 
 
 def add_model_args(parser: argparse.ArgumentParser) -> None:

@@ -137,6 +137,9 @@ def main(args=None) -> dict:
                    help="train batch size (reference recipe: 64)")
     p.add_argument("--cg_batch", type=int, default=4,
                    help="CycleGAN training batch size")
+    p.add_argument("--device_cache", action="store_true",
+                   help="HBM-resident splits + on-device batch gather "
+                        "(data/device_cache.py)")
     p.add_argument("--cg_epochs", type=int, default=30,
                    help="CycleGAN training epochs for the cyclegan regime")
     args = p.parse_args(args)
@@ -172,7 +175,8 @@ def main(args=None) -> dict:
             t0 = time.time()
             base = SupervisedTrainer(**kw())
             data = SimulatorDataModule(data_path="sourceData", batch_size=args.batch_size,
-                                       seed=42, load_into_memory=True)
+                                       seed=42, load_into_memory=True,
+                                       device_cache=args.device_cache)
             data.setup()
             b_state, _, _ = fit(base, base.init_state(jax.random.key(0)),
                                 data, max_epochs=args.epochs,
@@ -193,7 +197,8 @@ def main(args=None) -> dict:
                                args.n_labelled, hm=(name == "hm"))
             tr = SupervisedTrainer(**kw())
             data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
-                                       seed=42, load_into_memory=True)
+                                       seed=42, load_into_memory=True,
+                                       device_cache=args.device_cache)
             data.setup()
             s, _, _ = fit(tr, tr.init_state(jax.random.key(1)), data,
                           max_epochs=args.epochs, out_dir=f"results/{name}")
@@ -216,7 +221,8 @@ def main(args=None) -> dict:
                 "--modelWeightsPath", "results/cyclegan_gen/g_ab.msgpack"])
             tr = SupervisedTrainer(**kw())
             data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
-                                       seed=42, load_into_memory=True)
+                                       seed=42, load_into_memory=True,
+                                       device_cache=args.device_cache)
             data.setup()
             s, _, _ = fit(tr, tr.init_state(jax.random.key(2)), data,
                           max_epochs=args.epochs,
@@ -235,7 +241,8 @@ def main(args=None) -> dict:
             m_state = m_state.replace(params=b_state.params,
                                       batch_stats=b_state.batch_stats)
             data = TwoDomainMMEDataModule(data_path=root, batch_size=args.batch_size,
-                                          seed=42, load_into_memory=True)
+                                          seed=42, load_into_memory=True,
+                                       device_cache=args.device_cache)
             data.setup()
 
             def mme_step(state, batch, key, epoch):

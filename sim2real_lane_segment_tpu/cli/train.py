@@ -68,7 +68,8 @@ def main(args=None) -> dict:
     out_dir = os.path.join(args.default_root_dir or "results", args.model_name)
 
     kw = dict(data_path=args.dataPath, batch_size=args.batch_size,
-              seed=seed, load_into_memory=args.load2memory)
+              seed=seed, load_into_memory=args.load2memory,
+              device_cache=args.device_cache)
     from .test import build_model
     model = build_model(args.arch, 4)
     tkw = dict(num_cls=4, lr=args.learningRate, decay=args.decay,

@@ -1,0 +1,75 @@
+"""Device-resident dataset cache: upload a split to HBM once, gather
+training batches on device by index.
+
+The host pipeline (datasets.py / modules.py) stages every batch as a
+stacked uint8 array and pays one host->device transfer per step.  At the
+reference's native recording resolution (640x480, recorder.py:24) a
+batch-64 step moves ~59 MB — through a slow host link that transfer, not
+TPU compute, dominates the train step (measured ~0.8 s/batch vs ~40 ms
+of forward+backward for FCDenseNet67).
+
+A :class:`DeviceCachedView` removes the per-step transfer entirely: the
+whole split lives in HBM as one uint8 tensor (the typical study-scale
+split — ~1.5k frames at 480p — is ~1.2 GB of a v5e's 16 GB), and each
+step gathers its batch rows on device from a host-sent index vector
+(~256 bytes).  This completes the on-device data path for training:
+render -> label extraction -> augment already run on TPU, so with the
+gather the only per-step host work is sampling indices.
+
+Enabled via ``device_cache=True`` on the data modules (modules.py) and
+``--device_cache`` on the train/domain-study CLIs.  Views are built
+lazily on first use; datasets mutated in place afterwards (e.g. by
+histogram matching, myDatasets.py:63-71 semantics) must be re-set-up.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Sequence
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+class DeviceCachedView:
+    """One split resident on device: images [N,H,W,3] u8, labels [N,H,W] u8."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray | None):
+        import jax
+
+        self.images = jax.device_put(images)
+        self.labels = jax.device_put(labels) if labels is not None else None
+        log.info("device cache: %d frames, %.0f MB",
+                 len(images),
+                 (images.nbytes + (labels.nbytes if labels is not None else 0))
+                 / 1e6)
+
+    @classmethod
+    def from_datasets(cls, datasets: Sequence, size: tuple[int, int] | None
+                      ) -> "DeviceCachedView":
+        """Concatenate one or more RightLaneDatasets (host-read once at the
+        canonical ``size``) into a single device tensor.  Multi-dataset
+        concat serves the two-domain modules, whose samplers index
+        concat(source, target) (samplers.two_domain_epoch)."""
+        xs, ys = [], []
+        have_labels = all(ds.have_labels for ds in datasets)
+        for ds in datasets:
+            x, y = ds.read_batch(range(len(ds)), size)
+            xs.append(x)
+            if have_labels:
+                ys.append(y)
+        return cls(np.concatenate(xs) if len(xs) > 1 else xs[0],
+                   (np.concatenate(ys) if len(ys) > 1 else ys[0])
+                   if have_labels else None)
+
+    def gather(self, indices) -> tuple:
+        """Batch rows gathered on device; only the index vector crosses
+        the host link.  Same (x, y) contract as RightLaneDataset.read_batch
+        (device arrays instead of numpy — train/eval steps accept both)."""
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(np.asarray(indices, np.int32))
+        x = jnp.take(self.images, idx, axis=0)
+        y = (jnp.take(self.labels, idx, axis=0)
+             if self.labels is not None else None)
+        return x, y

@@ -14,7 +14,9 @@ producers that hand raw uint8 batches to the on-device transform pipeline:
 Unlike the reference (augmentation on 8 dataloader worker processes),
 batches leave the host as stacked uint8; resize/augment/normalize run on
 TPU (ops/augment.py).  A background thread pool overlaps disk reads with
-device compute (see prefetch.py).
+device compute (see prefetch.py).  With ``device_cache=True`` the splits
+live in HBM and batches are gathered on device by index — no per-step
+host transfer at all (device_cache.py).
 """
 from __future__ import annotations
 
@@ -32,13 +34,15 @@ Batch = Tuple[np.ndarray, np.ndarray | None]
 class BaseDataModule:
     def __init__(self, data_path: str, *, batch_size: int = 32, seed: int = 42,
                  load_into_memory: bool = False, shard_id: int = 0,
-                 num_shards: int = 1):
+                 num_shards: int = 1, device_cache: bool = False):
         self.data_path = data_path
         self.batch_size = batch_size
         self.seed = seed
         self.load_into_memory = load_into_memory
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.device_cache = device_cache
+        self._views: dict[tuple, object] = {}
         self.datasets: dict[str, RightLaneDataset] = {}
         # canonical (h, w) all host reads are normalized to; set at setup()
         # from the primary training split so mixed-resolution datasets
@@ -57,10 +61,22 @@ class BaseDataModule:
     def train_batches(self, epoch: int) -> Iterator[Batch]:
         raise NotImplementedError
 
+    def _view(self, *datasets: RightLaneDataset):
+        """Device-resident view of concat(*datasets), built lazily and
+        keyed by dataset identity (so aliased splits — e.g. the two-domain
+        val == test — share one HBM copy)."""
+        from .device_cache import DeviceCachedView
+        key = tuple(id(d) for d in datasets)
+        if key not in self._views:
+            self._views[key] = DeviceCachedView.from_datasets(
+                datasets, self.native_size)
+        return self._views[key]
+
     def _eval_batches(self, ds: RightLaneDataset) -> Iterator[Batch]:
         idx = np.arange(len(ds))
+        view = self._view(ds) if self.device_cache else None
         for b in samplers.batched(idx, self.batch_size, drop_last=False):
-            yield ds.read_batch(b, self.native_size)
+            yield view.gather(b) if view else ds.read_batch(b, self.native_size)
 
     def val_batches(self) -> Iterator[Batch]:
         return self._eval_batches(self.datasets["valid"])
@@ -88,8 +104,9 @@ class SimulatorDataModule(BaseDataModule):
         ds = self.datasets["train"]
         idx = samplers.shuffle_epoch(len(ds), self.seed, epoch)
         idx = samplers.shard(idx, self.shard_id, self.num_shards, self.batch_size)
+        view = self._view(ds) if self.device_cache else None
         for b in samplers.batched(idx, self.batch_size, drop_last=True):
-            yield ds.read_batch(b, self.native_size)
+            yield view.gather(b) if view else ds.read_batch(b, self.native_size)
 
 
 class TwoDomainDataModule(BaseDataModule):
@@ -124,8 +141,12 @@ class TwoDomainDataModule(BaseDataModule):
             len(self.datasets["source"]), len(self.datasets["targetTrain"]),
             self.seed, epoch)
         idx = samplers.shard(idx, self.shard_id, self.num_shards, self.batch_size)
+        # sampler ids index concat(source, target) — matching the view's
+        # concatenated device tensor
+        view = (self._view(self.datasets["source"], self.datasets["targetTrain"])
+                if self.device_cache else None)
         for b in samplers.batched(idx, self.batch_size, drop_last=True):
-            yield self._concat_read(b)
+            yield view.gather(b) if view else self._concat_read(b)
 
 
 class TwoDomainMMEDataModule(TwoDomainDataModule):
@@ -149,7 +170,14 @@ class TwoDomainMMEDataModule(TwoDomainDataModule):
         unl_idx = samplers.shard(unl_idx, self.shard_id, self.num_shards, self.batch_size)
         lab_b = samplers.batched(lab_idx, self.batch_size, drop_last=True)
         unl_b = samplers.batched(unl_idx, self.batch_size, drop_last=True)
+        lab_view = (self._view(self.datasets["source"],
+                               self.datasets["targetTrain"])
+                    if self.device_cache else None)
+        unl_view = self._view(unl) if self.device_cache else None
         for lb, ub in zip(lab_b, unl_b):
-            x_lab, y = self._concat_read(lb)
-            x_unl, _ = unl.read_batch(ub, self.native_size)
+            if lab_view is not None:
+                (x_lab, y), (x_unl, _) = lab_view.gather(lb), unl_view.gather(ub)
+            else:
+                x_lab, y = self._concat_read(lb)
+                x_unl, _ = unl.read_batch(ub, self.native_size)
             yield (x_lab, y), x_unl

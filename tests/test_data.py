@@ -129,3 +129,50 @@ def test_mme_asserts_unlabelled_size(tmp_path, rng):
     dm = TwoDomainMMEDataModule(data_path=root, batch_size=4)
     with pytest.raises(AssertionError):
         dm.setup()
+
+
+# -- device-resident cache (data/device_cache.py) ---------------------------
+
+def _np(b):
+    x, y = b
+    return np.asarray(x), (np.asarray(y) if y is not None else None)
+
+
+def test_device_cache_simulator_equivalence(tmp_path, rng):
+    root = make_sim_tree(tmp_path, rng)
+    host = SimulatorDataModule(data_path=root, batch_size=4)
+    dev = SimulatorDataModule(data_path=root, batch_size=4, device_cache=True)
+    host.setup(), dev.setup()
+    for hb, db in zip(host.train_batches(3), dev.train_batches(3)):
+        hx, hy = hb
+        dx, dy = _np(db)
+        np.testing.assert_array_equal(hx, dx)
+        np.testing.assert_array_equal(hy, dy)
+    for hb, db in zip(host.val_batches(), dev.val_batches()):
+        np.testing.assert_array_equal(hb[0], _np(db)[0])
+
+
+def test_device_cache_two_domain_equivalence(tmp_path, rng):
+    root = make_simreal_tree(tmp_path, rng)
+    host = TwoDomainDataModule(data_path=root, batch_size=4)
+    dev = TwoDomainDataModule(data_path=root, batch_size=4, device_cache=True)
+    host.setup(), dev.setup()
+    for hb, db in zip(host.train_batches(1), dev.train_batches(1)):
+        np.testing.assert_array_equal(hb[0], _np(db)[0])
+        np.testing.assert_array_equal(hb[1], _np(db)[1])
+    # val == test share one device view (keyed by dataset identity)
+    list(dev.val_batches()), list(dev.test_batches())
+    assert len(dev._views) == 2  # labelled-concat + the aliased eval split
+
+
+def test_device_cache_mme_equivalence(tmp_path, rng):
+    root = make_simreal_tree(tmp_path, rng)
+    host = TwoDomainMMEDataModule(data_path=root, batch_size=4)
+    dev = TwoDomainMMEDataModule(data_path=root, batch_size=4,
+                                 device_cache=True)
+    host.setup(), dev.setup()
+    for ((hx, hy), hu), ((dx, dy), du) in zip(host.train_batches(0),
+                                              dev.train_batches(0)):
+        np.testing.assert_array_equal(hx, np.asarray(dx))
+        np.testing.assert_array_equal(hy, np.asarray(dy))
+        np.testing.assert_array_equal(hu, np.asarray(du))
