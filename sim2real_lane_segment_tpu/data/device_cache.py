@@ -32,17 +32,34 @@ log = logging.getLogger(__name__)
 
 
 class DeviceCachedView:
-    """One split resident on device: images [N,H,W,3] u8, labels [N,H,W] u8."""
+    """One split resident on device: images [N,H,W,3] u8, labels [N,H,W] u8.
 
-    def __init__(self, images: np.ndarray, labels: np.ndarray | None):
+    Degrades gracefully: if the upload or a gather hits device-memory
+    exhaustion (the chip is shared — another tenant's allocations can
+    transiently squeeze HBM), the view permanently falls back to host
+    reads of the same indices, so a multi-hour run survives a pressure
+    spike at the cost of speed, not correctness.
+    """
+
+    def __init__(self, datasets: Sequence, size: tuple[int, int] | None,
+                 images: np.ndarray, labels: np.ndarray | None):
         import jax
 
-        self.images = jax.device_put(images)
-        self.labels = jax.device_put(labels) if labels is not None else None
-        log.info("device cache: %d frames, %.0f MB",
-                 len(images),
-                 (images.nbytes + (labels.nbytes if labels is not None else 0))
-                 / 1e6)
+        self._datasets = list(datasets)
+        self._size = size
+        self.images = self.labels = None
+        try:
+            self.images = jax.device_put(images)
+            if labels is not None:
+                self.labels = jax.device_put(labels)
+            log.info("device cache: %d frames, %.0f MB", len(images),
+                     (images.nbytes
+                      + (labels.nbytes if labels is not None else 0)) / 1e6)
+        except RuntimeError as e:  # includes jax ResourceExhausted
+            log.warning("device cache upload failed (%s); falling back to "
+                        "host reads for this split", e)
+            self.images = self.labels = None
+        self._have_labels = labels is not None
 
     @classmethod
     def from_datasets(cls, datasets: Sequence, size: tuple[int, int] | None
@@ -58,9 +75,27 @@ class DeviceCachedView:
             xs.append(x)
             if have_labels:
                 ys.append(y)
-        return cls(np.concatenate(xs) if len(xs) > 1 else xs[0],
+        return cls(datasets, size,
+                   np.concatenate(xs) if len(xs) > 1 else xs[0],
                    (np.concatenate(ys) if len(ys) > 1 else ys[0])
                    if have_labels else None)
+
+    def _host_read(self, indices) -> tuple:
+        """Concat-indexed host fallback (same index space as the device
+        tensor: offsets accumulate across the constituent datasets)."""
+        xs, ys = [], []
+        for i in np.asarray(indices):
+            i = int(i)
+            for ds in self._datasets:
+                if i < len(ds):
+                    x, y = ds[i]
+                    break
+                i -= len(ds)
+            from .datasets import _maybe_resize
+            x, y = _maybe_resize(x, y, self._size)
+            xs.append(x)
+            ys.append(y)
+        return np.stack(xs), (np.stack(ys) if self._have_labels else None)
 
     def gather(self, indices) -> tuple:
         """Batch rows gathered on device; only the index vector crosses
@@ -68,8 +103,19 @@ class DeviceCachedView:
         (device arrays instead of numpy — train/eval steps accept both)."""
         import jax.numpy as jnp
 
+        if self.images is None:
+            return self._host_read(indices)
         idx = jnp.asarray(np.asarray(indices, np.int32))
-        x = jnp.take(self.images, idx, axis=0)
-        y = (jnp.take(self.labels, idx, axis=0)
-             if self.labels is not None else None)
-        return x, y
+        try:
+            x = jnp.take(self.images, idx, axis=0)
+            y = (jnp.take(self.labels, idx, axis=0)
+                 if self.labels is not None else None)
+            # materialize now so an async device OOM surfaces here, where
+            # the fallback can still handle it
+            x.block_until_ready()
+            return x, y
+        except RuntimeError as e:
+            log.warning("device gather failed (%s); falling back to host "
+                        "reads for this split", e)
+            self.images = self.labels = None
+            return self._host_read(indices)

@@ -176,3 +176,18 @@ def test_device_cache_mme_equivalence(tmp_path, rng):
         np.testing.assert_array_equal(hx, np.asarray(dx))
         np.testing.assert_array_equal(hy, np.asarray(dy))
         np.testing.assert_array_equal(hu, np.asarray(du))
+
+
+def test_device_cache_host_fallback(tmp_path, rng):
+    # after a (simulated) device-memory failure the view serves identical
+    # batches from host reads in the same concat index space
+    root = make_simreal_tree(tmp_path, rng)
+    dm = TwoDomainDataModule(data_path=root, batch_size=4, device_cache=True)
+    dm.setup()
+    view = dm._view(dm.datasets["source"], dm.datasets["targetTrain"])
+    idx = np.array([0, len(dm.datasets["source"]), 1, 2])
+    dx, dy = view.gather(idx)
+    view.images = view.labels = None  # simulate ResourceExhausted fallback
+    hx, hy = view.gather(idx)
+    np.testing.assert_array_equal(np.asarray(dx), hx)
+    np.testing.assert_array_equal(np.asarray(dy), hy)
