@@ -30,6 +30,31 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
+_CHUNK_BYTES = 256 * 1024 * 1024
+
+
+def _chunked_put(arr: np.ndarray):
+    """device_put in ~256 MB row chunks, concatenated on device.
+
+    A single multi-GB device_put through this host's device link both
+    runs at a fraction of the chunked bandwidth (~8x slower measured)
+    and has been observed to leave the backend unable to satisfy any
+    further allocation (ResourceExhausted on a 16-byte PRNG split right
+    after a 1.6 GB one-shot upload).  Chunking costs one transient 2x
+    copy during the concat and avoids both problems.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rows = max(1, _CHUNK_BYTES // max(1, arr[0:1].nbytes))
+    if len(arr) <= rows:
+        return jax.device_put(arr)
+    chunks = [jax.device_put(arr[i:i + rows])
+              for i in range(0, len(arr), rows)]
+    out = jnp.concatenate(chunks)
+    out.block_until_ready()
+    return out
+
 
 class DeviceCachedView:
     """One split resident on device: images [N,H,W,3] u8, labels [N,H,W] u8.
@@ -49,13 +74,13 @@ class DeviceCachedView:
         self._size = size
         self.images = self.labels = None
         try:
-            self.images = jax.device_put(images)
+            self.images = _chunked_put(images)
             if labels is not None:
-                self.labels = jax.device_put(labels)
+                self.labels = _chunked_put(labels)
             log.info("device cache: %d frames, %.0f MB", len(images),
                      (images.nbytes
                       + (labels.nbytes if labels is not None else 0)) / 1e6)
-        except RuntimeError as e:  # includes jax ResourceExhausted
+        except Exception as e:  # jax raises Value/RuntimeError variants
             log.warning("device cache upload failed (%s); falling back to "
                         "host reads for this split", e)
             self.images = self.labels = None
@@ -114,7 +139,7 @@ class DeviceCachedView:
             # the fallback can still handle it
             x.block_until_ready()
             return x, y
-        except RuntimeError as e:
+        except Exception as e:
             log.warning("device gather failed (%s); falling back to host "
                         "reads for this split", e)
             self.images = self.labels = None
