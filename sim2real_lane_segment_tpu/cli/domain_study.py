@@ -142,6 +142,13 @@ def main(args=None) -> dict:
                         "(data/device_cache.py)")
     p.add_argument("--cg_epochs", type=int, default=30,
                    help="CycleGAN training epochs for the cyclegan regime")
+    p.add_argument("--force", action="store_true",
+                   help="retrain regimes even if a finished result exists "
+                        "in the workdir (default: resume — skip regimes "
+                        "already in study_summary.json, reload weights of "
+                        "regimes that trained but crashed before summary, "
+                        "and continue a fit that crashed mid-run from its "
+                        "last checkpoint)")
     args = p.parse_args(args)
     common.setup_runtime()
 
@@ -169,96 +176,147 @@ def main(args=None) -> dict:
         kw = lambda: dict(num_cls=4, augment=True, lr=args.lr,
                           model=build_model(args.arch, 4))
         results: dict = {}
+        if os.path.exists("study_summary.json") and not args.force:
+            with open("study_summary.json") as f:
+                results = json.load(f)
+            log.info("resuming: %s already in study_summary.json",
+                     sorted(results) or "nothing")
         b_state = None
+
+        def save_summary():
+            # written after every regime so a crash mid-study (the chip is
+            # a shared relay — pressure spikes happen) loses one regime at
+            # most, not the whole multi-hour matrix
+            with open("study_summary.json", "w") as f:
+                json.dump(results, f, indent=2)
+
+        def restore(name, trainer):
+            """Best weights of a regime that already trained, or None."""
+            from ..train.checkpoint import load_weights
+            p = f"results/{name}/best_weights.msgpack"
+            if args.force or not os.path.exists(p):
+                return None
+            log.info("%s: restoring %s", name, p)
+            return load_weights(p, trainer.init_state(jax.random.key(0)))
+
+        def target_test_batches():
+            tgt = SimulatorDataModule(data_path="targetData",
+                                      batch_size=args.batch_size, seed=42)
+            tgt.setup()
+            return tgt.test_batches()
 
         if "baseline" in args.regimes or "mme" in args.regimes:
             t0 = time.time()
             base = SupervisedTrainer(**kw())
-            data = SimulatorDataModule(data_path="sourceData", batch_size=args.batch_size,
-                                       seed=42, load_into_memory=True,
-                                       device_cache=args.device_cache)
-            data.setup()
-            b_state, _, _ = fit(base, base.init_state(jax.random.key(0)),
-                                data, max_epochs=args.epochs,
-                                out_dir="results/baseline")
-            tgt = SimulatorDataModule(data_path="targetData", batch_size=args.batch_size,
-                                      seed=42)
-            tgt.setup()
-            results["baseline"] = run_eval(base.eval_step, b_state,
-                                           tgt.test_batches())
-            log.info("baseline: %s (%.0fs)", results["baseline"],
-                     time.time() - t0)
+            b_state = restore("baseline", base)
+            if b_state is None:
+                data = SimulatorDataModule(data_path="sourceData", batch_size=args.batch_size,
+                                           seed=42, load_into_memory=True,
+                                           device_cache=args.device_cache)
+                data.setup()
+                b_state, _, _ = fit(base, base.init_state(jax.random.key(0)),
+                                    data, max_epochs=args.epochs,
+                                    out_dir="results/baseline",
+                                    resume=not args.force)
+            if "baseline" not in results or args.force:
+                results["baseline"] = run_eval(base.eval_step, b_state,
+                                               target_test_batches())
+                save_summary()
+                log.info("baseline: %s (%.0fs)", results["baseline"],
+                         time.time() - t0)
 
         for name in ("st", "hm"):
             if name not in args.regimes:
                 continue
+            if name in results and not args.force:
+                log.info("%s: cached in study_summary.json", name)
+                continue
             t0 = time.time()
-            root = _build_tree(f"srd_{name}", "sourceData", "targetData",
-                               args.n_labelled, hm=(name == "hm"))
             tr = SupervisedTrainer(**kw())
-            data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
-                                       seed=42, load_into_memory=True,
-                                       device_cache=args.device_cache)
-            data.setup()
-            s, _, _ = fit(tr, tr.init_state(jax.random.key(1)), data,
-                          max_epochs=args.epochs, out_dir=f"results/{name}")
-            results[name] = run_eval(tr.eval_step, s, data.test_batches())
+            s = restore(name, tr)
+            if s is None:
+                root = _build_tree(f"srd_{name}", "sourceData", "targetData",
+                                   args.n_labelled, hm=(name == "hm"))
+                data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
+                                           seed=42, load_into_memory=True,
+                                           device_cache=args.device_cache)
+                data.setup()
+                s, _, _ = fit(tr, tr.init_state(jax.random.key(1)), data,
+                              max_epochs=args.epochs, out_dir=f"results/{name}",
+                              resume=not args.force)
+            # every regime tests on the same target test images (the
+            # srd_* trees copy targetData/test verbatim), so the restored
+            # path can evaluate without rebuilding the tree
+            results[name] = run_eval(tr.eval_step, s, target_test_batches())
+            save_summary()
             log.info("%s: %s (%.0fs)", name, results[name], time.time() - t0)
 
-        if "cyclegan" in args.regimes:
+        if "cyclegan" in args.regimes and not (
+                "cyclegan" in results and not args.force):
             t0 = time.time()
-            from ..cli import sim2real_convert, train_cyclegan
-            root = _build_tree("srd_cg", "sourceData", "targetData",
-                               args.n_labelled, hm=False)
-            train_cyclegan.main([
-                "--source_dir", f"{root}/source/input",
-                "--target_dir", f"{root}/target/unlabelled/input",
-                "--out", "results/cyclegan_gen",
-                "--epochs", str(args.cg_epochs), "-b", str(args.cg_batch)])
-            # restyle the source inputs in place, then train like S&T
-            sim2real_convert.main([
-                "--dataPath", f"{root}/source",
-                "--modelWeightsPath", "results/cyclegan_gen/g_ab.msgpack"])
             tr = SupervisedTrainer(**kw())
-            data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
-                                       seed=42, load_into_memory=True,
-                                       device_cache=args.device_cache)
-            data.setup()
-            s, _, _ = fit(tr, tr.init_state(jax.random.key(2)), data,
-                          max_epochs=args.epochs,
-                          out_dir="results/cyclegan")
+            s = restore("cyclegan", tr)
+            if s is None:
+                from ..cli import sim2real_convert, train_cyclegan
+                root = _build_tree("srd_cg", "sourceData", "targetData",
+                                   args.n_labelled, hm=False)
+                train_cyclegan.main([
+                    "--source_dir", f"{root}/source/input",
+                    "--target_dir", f"{root}/target/unlabelled/input",
+                    "--out", "results/cyclegan_gen",
+                    "--epochs", str(args.cg_epochs), "-b", str(args.cg_batch)])
+                # restyle the source inputs in place, then train like S&T
+                sim2real_convert.main([
+                    "--dataPath", f"{root}/source",
+                    "--modelWeightsPath", "results/cyclegan_gen/g_ab.msgpack"])
+                data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
+                                           seed=42, load_into_memory=True,
+                                           device_cache=args.device_cache)
+                data.setup()
+                s, _, _ = fit(tr, tr.init_state(jax.random.key(2)), data,
+                              max_epochs=args.epochs,
+                              out_dir="results/cyclegan",
+                              resume=not args.force)
             results["cyclegan"] = run_eval(tr.eval_step, s,
-                                           data.test_batches())
+                                           target_test_batches())
+            save_summary()
             log.info("cyclegan: %s (%.0fs)", results["cyclegan"],
                      time.time() - t0)
+        elif "cyclegan" in args.regimes:
+            log.info("cyclegan: cached in study_summary.json")
 
-        if "mme" in args.regimes:
+        if "mme" in args.regimes and not ("mme" in results and not args.force):
             t0 = time.time()
-            root = _build_tree("srd_mme", "sourceData", "targetData",
-                               args.n_labelled, hm=False)
             mme = MMETrainer(**kw())
-            m_state = mme.init_state(jax.random.key(3))
-            m_state = m_state.replace(params=b_state.params,
-                                      batch_stats=b_state.batch_stats)
-            data = TwoDomainMMEDataModule(data_path=root, batch_size=args.batch_size,
-                                          seed=42, load_into_memory=True,
-                                       device_cache=args.device_cache)
-            data.setup()
+            m_best = restore("mme", mme)
+            if m_best is None:
+                root = _build_tree("srd_mme", "sourceData", "targetData",
+                                   args.n_labelled, hm=False)
+                m_state = mme.init_state(jax.random.key(3))
+                m_state = m_state.replace(params=b_state.params,
+                                          batch_stats=b_state.batch_stats)
+                data = TwoDomainMMEDataModule(data_path=root, batch_size=args.batch_size,
+                                              seed=42, load_into_memory=True,
+                                              device_cache=args.device_cache)
+                data.setup()
 
-            def mme_step(state, batch, key, epoch):
-                (x_lab, y), x_unl = batch
-                lr_g_fe, lr_g_cls, lr_f = mme.lrs_at(epoch)
-                return mme.mme_train_step(state, x_lab, y, x_unl, key,
-                                          lr_g_fe, lr_g_cls, lr_f)
+                def mme_step(state, batch, key, epoch):
+                    (x_lab, y), x_unl = batch
+                    lr_g_fe, lr_g_cls, lr_f = mme.lrs_at(epoch)
+                    return mme.mme_train_step(state, x_lab, y, x_unl, key,
+                                              lr_g_fe, lr_g_cls, lr_f)
 
-            m_best, _, _ = fit(mme, m_state, data, max_epochs=args.epochs,
-                               out_dir="results/mme", train_step_fn=mme_step)
+                m_best, _, _ = fit(mme, m_state, data, max_epochs=args.epochs,
+                                   out_dir="results/mme", train_step_fn=mme_step,
+                                   resume=not args.force)
             results["mme"] = run_eval(mme.eval_step, m_best,
-                                      data.test_batches())
+                                      target_test_batches())
+            save_summary()
             log.info("mme: %s (%.0fs)", results["mme"], time.time() - t0)
+        elif "mme" in args.regimes:
+            log.info("mme: cached in study_summary.json")
 
-        with open("study_summary.json", "w") as f:
-            json.dump(results, f, indent=2)
+        save_summary()
         print("STUDY SUMMARY (target-domain test):")
         for k, v in results.items():
             print(f"  {k:10s} acc {v['acc']:.2f}  iou {v['iou']:.2f}")

@@ -101,14 +101,6 @@ def main(args=None) -> dict:
     state = trainer.init_state(jax.random.key(seed))
     if args.trainType == "mme":
         state = ckpt.load_weights(args.pretrained_path, state)
-    start_epoch = 0
-    if args.resume:
-        ckpt_dir = os.path.join(out_dir, "checkpoints")
-        if os.path.exists(os.path.join(ckpt_dir, "best.msgpack")):
-            state, meta = ckpt.load_checkpoint(ckpt_dir, state)
-            start_epoch = int(meta.get("epoch", -1)) + 1
-            logging.info("resumed from %s at epoch %d", ckpt_dir, start_epoch)
-
     profiler_ctx = None
     if args.profile:
         profile_dir = os.path.join(out_dir, "profile")
@@ -120,7 +112,7 @@ def main(args=None) -> dict:
         best_state, best_iou, _ = fit(
             trainer, state, data, max_epochs=args.max_epochs, out_dir=out_dir,
             model_name=args.model_name, seed=seed, train_step_fn=train_step_fn,
-            start_epoch=start_epoch)
+            resume=args.resume)
     finally:
         if profiler_ctx:
             jax.profiler.stop_trace()

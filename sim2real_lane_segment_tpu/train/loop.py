@@ -57,12 +57,16 @@ def run_eval(eval_step: Callable, state, batches: Iterable) -> dict:
 def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
         model_name: str = "baseline", seed: int = 42,
         train_step_fn: Callable | None = None,
-        log_every: int = 50, start_epoch: int = 0) -> tuple:
+        log_every: int = 50, start_epoch: int = 0,
+        resume: bool = False) -> tuple:
     """Train with per-epoch validation and best-val_iou checkpointing.
 
     ``trainer`` is a SupervisedTrainer/MMETrainer; ``data`` a data module.
     ``train_step_fn(state, batch, key, epoch) -> (state, logs)`` lets MME
     reuse this loop; default is the supervised step.
+    ``resume=True`` restarts from the run's own checkpoint dir when one
+    exists (a crashed run continues at saved-epoch + 1 with the saved
+    opt state and best-val_iou watermark); a fresh dir trains normally.
     Returns (best_state, best_iou, logger).
     """
     logger = MetricLogger(out_dir)
@@ -70,6 +74,10 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
     best_iou, best_state = -1.0, state
     global_step = 0
     ckpt_mgr = TrainCheckpointManager(os.path.join(out_dir, "checkpoints"))
+    if resume:
+        state, best_iou, best_state, start_epoch = _restore_for_resume(
+            ckpt_mgr, os.path.join(out_dir, "checkpoints"), state,
+            best_iou, best_state, start_epoch)
 
     if train_step_fn is None:
         def train_step_fn(state, batch, key, epoch):
@@ -94,6 +102,30 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
     # reference train.py:73-75 saves best_weights.pt alongside the ckpt
     save_weights(os.path.join(out_dir, "best_weights.msgpack"), best_state)
     return best_state, best_iou, logger
+
+
+def _restore_for_resume(ckpt_mgr, ckpt_dir, state, best_iou, best_state,
+                        start_epoch):
+    """Continue from the newest saved checkpoint, if any.
+
+    Only best-val_iou states are ever saved (reference ModelCheckpoint
+    save_top_k=1 semantics), so "newest" and "best" coincide; resuming
+    re-trains at most the epochs since the last improvement.  Handles the
+    orbax manager layout and the legacy round-1 ``best.msgpack`` layout.
+    """
+    try:
+        state, meta = ckpt_mgr.restore(state)
+    except FileNotFoundError:
+        if not os.path.exists(os.path.join(ckpt_dir, "best.msgpack")):
+            return state, best_iou, best_state, start_epoch
+        from .checkpoint import load_checkpoint
+        state, meta = load_checkpoint(ckpt_dir, state)
+    start_epoch = int(meta.get("epoch", -1)) + 1
+    best_iou = float(meta.get("metrics", {}).get("val_iou", -1.0))
+    best_state = jax.device_get(state)
+    log.info("resumed %s at epoch %d (best val_iou %.3f)",
+             ckpt_dir, start_epoch, best_iou)
+    return state, best_iou, best_state, start_epoch
 
 
 def _fit_epochs(trainer, state, data, logger, ckpt_mgr, key, best_iou,
