@@ -4,7 +4,8 @@
 
 CPU_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: test test-fast bench dryrun lint sim-bench serve domain-study multihost
+.PHONY: test test-fast bench dryrun lint sim-bench serve domain-study \
+        domain-study-scaled multihost
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -x -q
@@ -32,6 +33,19 @@ serve:
 # the full 5-regime adaptation experiment (tens of minutes on one chip)
 domain-study:
 	python -m sim2real_lane_segment_tpu.cli.domain_study
+
+# the scaled study (multi-hour): FCDenseNet67, ~1.9k frames/domain,
+# reference batch/lr recipe.  Crash-resumable at epoch granularity —
+# the loop relaunches on transient backend deaths (shared-chip pressure)
+domain-study-scaled:
+	for i in $$(seq 1 40); do \
+	    python -m sim2real_lane_segment_tpu.cli.domain_study \
+	        --workdir domain_study_scaled --arch 67 --episodes 8 \
+	        --steps 240 --epochs 100 --n_labelled 64 -b 64 --lr 1e-3 \
+	        --device_cache --regimes baseline st hm mme && break; \
+	    echo "[babysitter] exited rc=$$? (attempt $$i); retry in 90s" >&2; \
+	    sleep 90; \
+	done
 
 # validate multi-host data parallelism with a real 2-process CPU cluster
 multihost:

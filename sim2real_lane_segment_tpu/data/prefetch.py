@@ -23,6 +23,51 @@ class _Error:
         self.exc = exc
 
 
+_SENTINEL = object()
+
+
+def _pump(q: queue.Queue, stop: threading.Event, it: Iterator) -> None:
+    """Producer body: feed ``it`` into ``q`` until done, error, or stop.
+
+    Puts use a timeout so an abandoned consumer (e.g. an epoch retried
+    after a transient backend error drops its generator mid-iteration)
+    never leaves the thread blocked on a full queue holding batches.
+    """
+
+    def guarded_put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    try:
+        for batch in it:
+            if not guarded_put(batch):
+                return
+    except BaseException as e:  # propagate into the consumer
+        guarded_put(_Error(e))
+        return
+    guarded_put(_SENTINEL)
+
+
+def _consume(q: queue.Queue, stop: threading.Event) -> Iterator:
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, _Error):
+                raise item.exc
+            yield item
+    finally:
+        # reached on normal exhaustion, on error, and on generator
+        # abandonment (GeneratorExit) — always release the producer
+        stop.set()
+
+
 def prefetch_to_device(batch_iter: Iterator, size: int = 2,
                        sharding=None) -> Iterator:
     """Iterate ``batch_iter`` with ``size`` batches staged ahead on device.
@@ -31,52 +76,24 @@ def prefetch_to_device(batch_iter: Iterator, size: int = 2,
     batch-axis sharding over the data mesh axis).
     """
     q: queue.Queue = queue.Queue(maxsize=size)
-    sentinel = object()
+    stop = threading.Event()
 
     def put(x):
         if sharding is not None:
             return jax.device_put(x, sharding)
         return jax.device_put(x)
 
-    def producer():
-        try:
-            for batch in batch_iter:
-                q.put(jax.tree_util.tree_map(put, batch))
-        except BaseException as e:  # propagate into the consumer
-            q.put(_Error(e))
-            return
-        q.put(sentinel)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        if isinstance(item, _Error):
-            raise item.exc
-        yield item
+    staged = (jax.tree_util.tree_map(put, b) for b in batch_iter)
+    threading.Thread(target=_pump, args=(q, stop, staged),
+                     daemon=True).start()
+    return _consume(q, stop)
 
 
-def background_batches(make_iter: Callable[[], Iterator], size: int = 4) -> Iterator:
+def background_batches(make_iter: Callable[[], Iterator],
+                       size: int = 4) -> Iterator:
     """Stage host batches (numpy) ahead on a reader thread, no device_put."""
     q: queue.Queue = queue.Queue(maxsize=size)
-    sentinel = object()
-
-    def producer():
-        try:
-            for batch in make_iter():
-                q.put(batch)
-        except BaseException as e:
-            q.put(_Error(e))
-            return
-        q.put(sentinel)
-
-    threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        if isinstance(item, _Error):
-            raise item.exc
-        yield item
+    stop = threading.Event()
+    threading.Thread(target=_pump, args=(q, stop, make_iter()),
+                     daemon=True).start()
+    return _consume(q, stop)

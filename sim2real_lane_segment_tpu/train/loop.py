@@ -64,9 +64,13 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
     ``trainer`` is a SupervisedTrainer/MMETrainer; ``data`` a data module.
     ``train_step_fn(state, batch, key, epoch) -> (state, logs)`` lets MME
     reuse this loop; default is the supervised step.
-    ``resume=True`` restarts from the run's own checkpoint dir when one
-    exists (a crashed run continues at saved-epoch + 1 with the saved
-    opt state and best-val_iou watermark); a fresh dir trains normally.
+    ``resume=True`` restarts from the run's own checkpoint dirs when they
+    exist (a crashed run continues at saved-epoch + 1 with the saved opt
+    state and best-val_iou watermark); a fresh dir trains normally.  Two
+    checkpoint channels are kept: ``checkpoints`` holds the best-val_iou
+    state (reference ModelCheckpoint save_top_k=1 semantics) and
+    ``checkpoints_latest`` the end-of-epoch state, so resume loses at
+    most one epoch even when the best epoch is long past.
     Returns (best_state, best_iou, logger).
     """
     logger = MetricLogger(out_dir)
@@ -74,10 +78,13 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
     best_iou, best_state = -1.0, state
     global_step = 0
     ckpt_mgr = TrainCheckpointManager(os.path.join(out_dir, "checkpoints"))
+    # monitor="epoch" makes best==latest under the same manager machinery
+    latest_mgr = TrainCheckpointManager(
+        os.path.join(out_dir, "checkpoints_latest"), monitor="epoch")
     if resume:
-        state, best_iou, best_state, start_epoch = _restore_for_resume(
-            ckpt_mgr, os.path.join(out_dir, "checkpoints"), state,
-            best_iou, best_state, start_epoch)
+        state, best_iou, best_state, start_epoch, global_step = \
+            _restore_for_resume(ckpt_mgr, latest_mgr, out_dir, state,
+                                best_iou, best_state, start_epoch)
 
     if train_step_fn is None:
         def train_step_fn(state, batch, key, epoch):
@@ -87,13 +94,14 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
 
     try:
         best_iou, best_state, global_step = _fit_epochs(
-            trainer, state, data, logger, ckpt_mgr, key, best_iou,
-            best_state, global_step, start_epoch, max_epochs,
+            trainer, state, data, logger, ckpt_mgr, latest_mgr, key,
+            best_iou, best_state, global_step, start_epoch, max_epochs,
             train_step_fn, log_every)
     finally:
         # async saves must be finalized even if a train step raised, or
         # the best checkpoint of the run is left half-written
         ckpt_mgr.close()
+        latest_mgr.close()
 
     test = run_eval(trainer.eval_step, best_state, data.test_batches())
     logger.log(global_step, {f"test/{k}": v for k, v in test.items()})
@@ -104,56 +112,127 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
     return best_state, best_iou, logger
 
 
-def _restore_for_resume(ckpt_mgr, ckpt_dir, state, best_iou, best_state,
-                        start_epoch):
-    """Continue from the newest saved checkpoint, if any.
+def _restore_for_resume(ckpt_mgr, latest_mgr, out_dir, state, best_iou,
+                        best_state, start_epoch):
+    """Continue a crashed run from its saved checkpoints.
 
-    Only best-val_iou states are ever saved (reference ModelCheckpoint
-    save_top_k=1 semantics), so "newest" and "best" coincide; resuming
-    re-trains at most the epochs since the last improvement.  Handles the
-    orbax manager layout and the legacy round-1 ``best.msgpack`` layout.
+    The best channel restores the best-val_iou watermark + best_state;
+    the latest channel (written every epoch) restores the state actually
+    trained furthest.  Also reads the legacy round-1 ``best.msgpack``
+    layout.  Returns (state, best_iou, best_state, start_epoch,
+    global_step) — global_step is reconstructed from metrics.jsonl so
+    resumed logging continues the step axis instead of restarting at 0.
     """
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    meta = None
     try:
-        state, meta = ckpt_mgr.restore(state)
+        b_state, meta = ckpt_mgr.restore(state)
     except FileNotFoundError:
-        if not os.path.exists(os.path.join(ckpt_dir, "best.msgpack")):
-            return state, best_iou, best_state, start_epoch
-        from .checkpoint import load_checkpoint
-        state, meta = load_checkpoint(ckpt_dir, state)
-    start_epoch = int(meta.get("epoch", -1)) + 1
-    best_iou = float(meta.get("metrics", {}).get("val_iou", -1.0))
-    best_state = jax.device_get(state)
-    log.info("resumed %s at epoch %d (best val_iou %.3f)",
-             ckpt_dir, start_epoch, best_iou)
-    return state, best_iou, best_state, start_epoch
+        if os.path.exists(os.path.join(ckpt_dir, "best.msgpack")):
+            from .checkpoint import load_checkpoint
+            b_state, meta = load_checkpoint(ckpt_dir, state)
+    if meta is not None:
+        state = b_state
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_iou = float(meta.get("metrics", {}).get("val_iou", -1.0))
+        best_state = jax.device_get(state)
+
+    try:
+        l_state, l_meta = latest_mgr.restore(state)
+        l_epoch = int(l_meta.get("epoch", -1))
+        if l_epoch + 1 > start_epoch:
+            state, start_epoch = l_state, l_epoch + 1
+    except FileNotFoundError:
+        pass
+    if meta is None and start_epoch == 0:
+        return state, best_iou, best_state, start_epoch, 0
+
+    global_step = _last_logged_step(os.path.join(out_dir, "metrics.jsonl"))
+    log.info("resumed %s at epoch %d (best val_iou %.3f, step %d)",
+             out_dir, start_epoch, best_iou, global_step)
+    return state, best_iou, best_state, start_epoch, global_step
 
 
-def _fit_epochs(trainer, state, data, logger, ckpt_mgr, key, best_iou,
-                best_state, global_step, start_epoch, max_epochs,
+def _last_logged_step(history_path: str) -> int:
+    try:
+        with open(history_path) as f:
+            steps = [json.loads(line).get("step", 0) for line in f if line.strip()]
+        return max(steps, default=0)
+    except OSError:
+        return 0
+
+
+# Backend error codes worth retrying: the chip is a shared device and
+# pressure spikes (RESOURCE_EXHAUSTED) or relay hiccups (UNAVAILABLE,
+# DEADLINE_EXCEEDED, ABORTED) are transient — observed killing multi-hour
+# studies at otherwise-innocent ops.  Sleep doubles per attempt.
+_TRANSIENT_MARKERS = ("RESOURCE_EXHAUSTED", "UNAVAILABLE",
+                      "DEADLINE_EXCEEDED", "ABORTED")
+_RETRY_SLEEP_S = 30.0
+_MAX_EPOCH_RETRIES = 4
+
+
+def _is_transient_backend_error(e: BaseException) -> bool:
+    return any(m in str(e) for m in _TRANSIENT_MARKERS)
+
+
+def _run_train_epoch(trainer, state, data, logger, key, global_step,
+                     epoch, train_step_fn, log_every):
+    """One epoch of train steps + the validation pass (the retry unit)."""
+    n_steps = 0
+    # disk reads/stacking overlap device compute on a reader thread
+    for batch in background_batches(lambda e=epoch: data.train_batches(e)):
+        key, k_step = jax.random.split(key)
+        state, logs = train_step_fn(state, batch, k_step, epoch)
+        n_steps += 1
+        global_step += 1
+        if global_step % log_every == 0:
+            logger.log(global_step, {f"train/{k}": v
+                                     for k, v in jax.device_get(logs).items()})
+    val = run_eval(trainer.eval_step, state, data.val_batches())
+    return state, global_step, n_steps, val
+
+
+def _fit_epochs(trainer, state, data, logger, ckpt_mgr, latest_mgr, key,
+                best_iou, best_state, global_step, start_epoch, max_epochs,
                 train_step_fn, log_every):
+    # host snapshot: train_step donates its input state, so device aliases
+    # are invalidated — and it doubles as the transient-error retry point
+    snap = jax.device_get(state)
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
-        n_steps = 0
-        # disk reads/stacking overlap device compute on a reader thread
-        for batch in background_batches(lambda e=epoch: data.train_batches(e)):
-            key, k_step = jax.random.split(key)
-            state, logs = train_step_fn(state, batch, k_step, epoch)
-            n_steps += 1
-            global_step += 1
-            if global_step % log_every == 0:
-                logger.log(global_step, {f"train/{k}": v
-                                         for k, v in jax.device_get(logs).items()})
+        step0 = global_step
+        # per-epoch key stream: a resumed run reproduces the exact
+        # randomness of an uninterrupted one from start_epoch onward
+        k_epoch = jax.random.fold_in(key, epoch)
+        for attempt in range(_MAX_EPOCH_RETRIES + 1):
+            try:
+                state, global_step, n_steps, val = _run_train_epoch(
+                    trainer, state, data, logger, k_epoch, step0,
+                    epoch, train_step_fn, log_every)
+                break
+            except Exception as e:
+                if attempt >= _MAX_EPOCH_RETRIES or \
+                        not _is_transient_backend_error(e):
+                    raise
+                wait = _RETRY_SLEEP_S * (2 ** attempt)
+                log.warning(
+                    "transient backend error in epoch %d (%.120s); "
+                    "replaying epoch from snapshot in %.0fs (retry %d/%d)",
+                    epoch, str(e).splitlines()[0] if str(e) else type(e),
+                    wait, attempt + 1, _MAX_EPOCH_RETRIES)
+                time.sleep(wait)
+                state, global_step = snap, step0
 
-        val = run_eval(trainer.eval_step, state, data.val_batches())
         logger.log(global_step, {f"val/{k}": v for k, v in val.items()})
         log.info("epoch %d: %d steps in %.1fs, val_iou=%.3f val_acc=%.2f",
                  epoch, n_steps, time.time() - t0, val["iou"], val["acc"])
 
+        snap = jax.device_get(state)
+        # async orbax saves overlap the next epoch's compute
+        latest_mgr.save(epoch, snap, metrics={"epoch": float(epoch)})
         if val["iou"] > best_iou:
-            # host snapshot: train_step donates its input state, so keeping
-            # a device alias here would be invalidated next epoch
-            best_iou, best_state = val["iou"], jax.device_get(state)
-            # async orbax save overlaps the next epoch's compute
+            best_iou, best_state = val["iou"], snap
             ckpt_mgr.save(epoch, best_state,
                           metrics={"val_iou": val["iou"]},
                           hparams={"lr": trainer.lr, "decay": trainer.decay,

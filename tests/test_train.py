@@ -243,3 +243,101 @@ def test_fit_resume_continues_from_checkpoint(tmp_path, rng):
     _, iou3, _ = fit(tr, tr.init_state(jax.random.key(9)), dm,
                      max_epochs=2, out_dir=out_dir, resume=True)
     assert iou3 >= iou1 - 1e-6
+
+
+def test_background_batches_releases_producer_on_abandon():
+    import threading
+    import time as _time
+    from sim2real_lane_segment_tpu.data.prefetch import background_batches
+
+    produced = []
+
+    def infinite():
+        i = 0
+        while True:
+            produced.append(i)
+            yield i
+            i += 1
+
+    it = background_batches(infinite, size=2)
+    assert next(it) == 0
+    it.close()  # abandon mid-stream (what an epoch retry does)
+    _time.sleep(1.5)
+    n = len(produced)
+    _time.sleep(1.0)
+    # producer must have stopped — a blocked q.put would keep it alive
+    assert len(produced) == n
+
+
+def test_fit_retries_transient_backend_error(tmp_path, rng, monkeypatch):
+    from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
+    from sim2real_lane_segment_tpu.train import loop
+
+    monkeypatch.setattr(loop, "_RETRY_SLEEP_S", 0.01)
+    root = make_sim_tree(tmp_path, rng)
+    dm = SimulatorDataModule(data_path=root, batch_size=4)
+    dm.setup()
+    tr = small_trainer()
+    calls = {"n": 0}
+
+    def flaky_step(state, batch, key, epoch):
+        calls["n"] += 1
+        if calls["n"] == 2:  # mid-epoch, after the state was donated once
+            raise ValueError("RESOURCE_EXHAUSTED: TPU backend error "
+                             "(ResourceExhausted)")
+        images, labels = batch
+        return tr.train_step(state, images, labels, key, tr.lr_at(epoch))
+
+    _, best_iou, _ = loop.fit(tr, tr.init_state(jax.random.key(0)), dm,
+                              max_epochs=1, out_dir=str(tmp_path / "r"),
+                              train_step_fn=flaky_step)
+    assert best_iou >= 0
+    assert calls["n"] >= 3  # first attempt died and the epoch was replayed
+
+
+def test_fit_does_not_retry_real_errors(tmp_path, rng):
+    from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
+    from sim2real_lane_segment_tpu.train.loop import fit
+
+    root = make_sim_tree(tmp_path, rng)
+    dm = SimulatorDataModule(data_path=root, batch_size=4)
+    dm.setup()
+    tr = small_trainer()
+
+    def broken_step(state, batch, key, epoch):
+        raise RuntimeError("a genuine bug")
+
+    with pytest.raises(RuntimeError, match="genuine bug"):
+        fit(tr, tr.init_state(jax.random.key(0)), dm, max_epochs=1,
+            out_dir=str(tmp_path / "r"), train_step_fn=broken_step)
+
+
+def test_restore_prefers_latest_channel(tmp_path):
+    from sim2real_lane_segment_tpu.train.checkpoint import TrainCheckpointManager
+    from sim2real_lane_segment_tpu.train.loop import _restore_for_resume
+
+    tr = small_trainer()
+    s_best = tr.init_state(jax.random.key(0))
+    s_latest = tr.init_state(jax.random.key(1))
+    out_dir = str(tmp_path / "run")
+    best_mgr = TrainCheckpointManager(os.path.join(out_dir, "checkpoints"))
+    latest_mgr = TrainCheckpointManager(
+        os.path.join(out_dir, "checkpoints_latest"), monitor="epoch")
+    best_mgr.save(0, s_best, metrics={"val_iou": 41.5})
+    latest_mgr.save(3, s_latest, metrics={"epoch": 3.0})
+    best_mgr.wait()
+    latest_mgr.wait()
+
+    state, best_iou, best_state, start_epoch, step = _restore_for_resume(
+        best_mgr, latest_mgr, out_dir, tr.init_state(jax.random.key(7)),
+        -1.0, None, 0)
+    assert start_epoch == 4  # trained furthest wins for the live state
+    assert best_iou == pytest.approx(41.5)
+
+    def leaf(s):
+        return np.asarray(jax.tree_util.tree_leaves(s.params)[0])
+
+    np.testing.assert_array_equal(leaf(state), leaf(s_latest))
+    np.testing.assert_array_equal(leaf(best_state), leaf(s_best))
+    best_mgr.close()
+    latest_mgr.close()
