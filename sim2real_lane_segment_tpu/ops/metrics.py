@@ -34,9 +34,14 @@ def accuracy(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 def confusion_matrix(pred: jax.Array, target: jax.Array, num_classes: int) -> jax.Array:
     """Confusion matrix; rows = target (label), cols = pred."""
-    idx = target.astype(jnp.int32).reshape(-1) * num_classes + pred.astype(jnp.int32).reshape(-1)
-    counts = jnp.bincount(idx, length=num_classes * num_classes)
-    return counts.reshape(num_classes, num_classes)
+    # cm[t, p] = onehot_t^T @ onehot_p — a bincount scatter-add here is
+    # TPU-hostile (serialized scatter lowering); the one-hot contraction is
+    # one MXU matmul and exact (0/1 products, f32 accumulation, counts < 2^24)
+    onehot_t = jax.nn.one_hot(target.reshape(-1).astype(jnp.int32),
+                              num_classes, dtype=jnp.float32)
+    onehot_p = jax.nn.one_hot(pred.reshape(-1).astype(jnp.int32),
+                              num_classes, dtype=jnp.float32)
+    return jnp.einsum("nt,np->tp", onehot_t, onehot_p).astype(jnp.int32)
 
 
 def iou(pred: jax.Array, target: jax.Array, num_classes: int) -> jax.Array:

@@ -27,8 +27,12 @@ def get_class_weight(targets: jax.Array, num_classes: int) -> jax.Array:
     here instead of inf — torch's inf is never touched because absent
     classes index no pixels, so the losses are identical.
     """
-    counts = jnp.bincount(targets.reshape(-1).astype(jnp.int32),
-                          length=num_classes).astype(jnp.float32)
+    # one-hot reduction instead of bincount: scatter-adds are TPU-hostile
+    # (the XLA scatter lowering serializes); the comparison+sum is pure VPU
+    # work and bit-identical for counts < 2^24
+    onehot = jax.nn.one_hot(targets.reshape(-1).astype(jnp.int32),
+                            num_classes, dtype=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)
     return jnp.where(counts > 0, 1.0 / jnp.maximum(counts, 1.0), 0.0)
 
 
@@ -39,12 +43,16 @@ def cross_entropy(outputs: jax.Array, targets: jax.Array,
     With ``weight``: loss = sum_i w[y_i]*nll_i / sum_i w[y_i] (torch's
     weighted mean).  Without: plain mean.
     """
+    # one-hot contractions instead of take_along_axis / table gathers:
+    # per-pixel gathers over the minor class axis measured multi-ms per
+    # 64-batch on TPU, while the masked sums fuse into the softmax
     logp = jax.nn.log_softmax(outputs.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
-                               axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(targets.astype(jnp.int32), outputs.shape[-1],
+                            dtype=jnp.float32)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if weight is None:
         return jnp.mean(nll)
-    w = weight[targets.astype(jnp.int32)]
+    w = jnp.sum(onehot * weight.astype(jnp.float32), axis=-1)
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
 
 

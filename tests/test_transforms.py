@@ -111,6 +111,45 @@ def test_augment_label_values_preserved(rng):
     assert got <= {0, 1, 2, 3}  # nearest interp must never invent classes
 
 
+def test_crop_label_matmul_matches_gather(rng):
+    """The one-hot-matmul nearest label resample must be bit-identical to
+    the index-gather formulation it replaced (gathers measured ~16 ms per
+    64-batch on TPU; the selection matmuls run on the MXU instead)."""
+    import functools
+
+    def gather_ref(key, img, label, cfg):
+        # the original gather path, re-derived from the same crop params
+        kh, kpos_h, kpos_w = jax.random.split(key, 3)
+        src_h, src_w = img.shape[0], img.shape[1]
+        w2h = cfg.width / cfg.height
+        crop_h = jax.random.randint(kh, (), cfg.min_crop_height,
+                                    cfg.max_crop_height + 1).astype(jnp.float32)
+        crop_h = jnp.minimum(crop_h, float(src_h))
+        crop_w = jnp.minimum(jnp.floor(crop_h * w2h), float(src_w))
+        h_start = jax.random.uniform(kpos_h)
+        w_start = jax.random.uniform(kpos_w)
+        y1 = jnp.floor((src_h - crop_h + 1.0) * h_start)
+        x1 = jnp.floor((src_w - crop_w + 1.0) * w_start)
+        scale_y = cfg.height / crop_h
+        scale_x = cfg.width / crop_w
+        oy = jnp.arange(cfg.height, dtype=jnp.float32)
+        ox = jnp.arange(cfg.width, dtype=jnp.float32)
+        sy = jnp.clip(jnp.round(y1 + (oy + 0.5) / scale_y - 0.5).astype(jnp.int32),
+                      0, src_h - 1)
+        sx = jnp.clip(jnp.round(x1 + (ox + 0.5) / scale_x - 0.5).astype(jnp.int32),
+                      0, src_w - 1)
+        return label[sy[:, None], sx[None, :]].astype(jnp.int32)
+
+    imgs = rng.integers(0, 256, (6, 480, 640, 3), dtype=np.uint8)
+    labels = rng.integers(0, 4, (6, 480, 640), dtype=np.uint8)
+    keys = jax.random.split(jax.random.key(3), 6)
+    _, got = jax.vmap(functools.partial(A._random_sized_crop, cfg=CFG))(
+        keys, jnp.asarray(imgs, jnp.float32), jnp.asarray(labels))
+    want = jax.vmap(lambda k, i, l: gather_ref(k, i, l, CFG))(
+        keys, jnp.asarray(imgs, jnp.float32), jnp.asarray(labels))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_gray_config(rng):
     imgs = rng.integers(0, 256, (2, 480, 640, 3), dtype=np.uint8)
     cfg = A.AugmentConfig(gray=True)
