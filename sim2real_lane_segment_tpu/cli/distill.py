@@ -18,7 +18,7 @@ def main(args=None) -> dict:
     p.add_argument("--dataPath", type=str, required=True)
     p.add_argument("--teacherPath", type=str, required=True,
                    help="best_weights.msgpack of a trained teacher")
-    p.add_argument("--teacher_arch", choices=["67", "57", "103", "tiny", "lite", "encdec"],
+    p.add_argument("--teacher_arch", choices=["67", "67r", "57", "103", "tiny", "lite", "encdec"],
                    default="67")
     p.add_argument("--model_name", type=str, default="lanenet_lite")
     p.add_argument("--max_epochs", type=int, default=75)

@@ -128,7 +128,7 @@ def main(args=None) -> dict:
     p.add_argument("--n_labelled", type=int, default=32)
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--arch", default="lite",
-                   choices=["67", "57", "103", "tiny", "lite", "encdec"])
+                   choices=["67", "67r", "57", "103", "tiny", "lite", "encdec"])
     p.add_argument("--source-map", default="loop_empty")
     p.add_argument("--target-map", default="zigzag")
     p.add_argument("--regimes", nargs="+",

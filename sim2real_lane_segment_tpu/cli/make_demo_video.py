@@ -55,7 +55,7 @@ def main(args=None) -> int:
     p.add_argument("--videoIns", type=str, nargs="+", required=True)
     p.add_argument("--videoOuts", type=str, default=["./demoVideo.avi"], nargs="+")
     p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite", "encdec"], default="67")
+    p.add_argument("--arch", choices=["67", "67r", "57", "103", "tiny", "lite", "encdec"], default="67")
     p.add_argument("--fused", action="store_true",
                    help="run inference through the fused-Pallas FC-DenseNet "
                         "forward (same outputs, ~2x on TPU)")

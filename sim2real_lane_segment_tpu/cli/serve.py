@@ -95,7 +95,7 @@ def main(args=None) -> None:
     p.add_argument("--module_type", default="baseline",
                    choices=["baseline", "sandt", "hm", "CycleGAN", "mme"])
     p.add_argument("--arch", default="lite",
-                   choices=["67", "57", "103", "tiny", "lite", "encdec"])
+                   choices=["67", "67r", "57", "103", "tiny", "lite", "encdec"])
     p.add_argument("--num_cls", type=int, default=4)
     p.add_argument("--width", type=int, default=160)
     p.add_argument("--height", type=int, default=120)

@@ -33,16 +33,18 @@ def overlay_prediction(img_bgr: np.ndarray, pred: np.ndarray) -> np.ndarray:
     return out
 
 
-ARCHES = ["67", "57", "103", "tiny", "lite", "encdec"]
+ARCHES = ["67", "67r", "57", "103", "tiny", "lite", "encdec"]
 
 
 def build_model(arch: str, num_cls: int):
     from ..models.encdec import EncDecNet
     from ..models.lanenet_lite import LaneNetLite
     from ..models.tiramisu import FCDenseNet, fcdensenet57, fcdensenet103
+    from ..models.tiramisu import fcdensenet67
     if arch == "67":
         return None  # trainer default
-    return {"57": lambda: fcdensenet57(num_cls),
+    return {"67r": lambda: fcdensenet67(num_cls, remat=True),
+            "57": lambda: fcdensenet57(num_cls),
             "103": lambda: fcdensenet103(num_cls),
             "lite": lambda: LaneNetLite(n_classes=num_cls),
             "encdec": lambda: EncDecNet(n_features=64, n_levels=3,

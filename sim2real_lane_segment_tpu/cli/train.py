@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_epochs", type=int, default=175)
     p.add_argument("--default_root_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite", "encdec"], default="67",
+    p.add_argument("--arch", choices=["67", "67r", "57", "103", "tiny", "lite", "encdec"], default="67",
                    help="FCDenseNet variant (reference trained 67; "
                         "'tiny' is a fast smoke-test config)")
     p.add_argument("--resume", action="store_true",

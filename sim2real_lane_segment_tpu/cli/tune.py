@@ -94,7 +94,7 @@ def main(args=None) -> dict:
     p.add_argument("--grace_period", type=int, default=25)
     p.add_argument("--reduction_factor", type=int, default=4)
     p.add_argument("--num_cls", type=int, default=4)
-    p.add_argument("--arch", choices=["67", "57", "103", "tiny", "lite", "encdec"], default="67")
+    p.add_argument("--arch", choices=["67", "67r", "57", "103", "tiny", "lite", "encdec"], default="67")
     p.add_argument("--out_dir", type=str, default="tune_minimax_segmenter")
     p.add_argument("--search", choices=["tpe", "random"], default="tpe",
                    help="first-rung config proposer (reference used "

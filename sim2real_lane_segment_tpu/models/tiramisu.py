@@ -88,8 +88,10 @@ class DenseBlock(nn.Module):
     upsample: bool = False
     policy: DTypePolicy = DEFAULT_POLICY
 
+    # ``train`` is positional-or-keyword (not keyword-only) so the remat
+    # variant can mark it static via jax.checkpoint's static_argnums
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool):
         new_features = []
         for _ in range(self.n_layers):
             out = DenseLayer(self.growth_rate, self.policy)(x, train=train)
@@ -151,6 +153,11 @@ class FCDenseNetFeatureExtractor(nn.Module):
     growth_rate: int = 16
     out_chans_first_conv: int = 48
     policy: DTypePolicy = DEFAULT_POLICY
+    # rematerialize dense blocks in the backward pass: the concat topology
+    # re-reads every growing activation from HBM during backprop, so
+    # recomputing blocks from their inputs trades cheap MXU flops for the
+    # dominant HBM traffic (bandwidth-bound at these shapes)
+    remat: bool = False
 
     @property
     def feature_channels(self) -> int:
@@ -170,6 +177,9 @@ class FCDenseNetFeatureExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        # static_argnums=(2,): (self, x, train) — train is a Python bool
+        dense = (nn.remat(DenseBlock, static_argnums=(2,)) if self.remat
+                 else DenseBlock)
         x = x.astype(self.policy.compute_dtype)
         out = nn.Conv(self.out_chans_first_conv, (3, 3), padding=1,
                       use_bias=True, dtype=self.policy.compute_dtype,
@@ -177,20 +187,20 @@ class FCDenseNetFeatureExtractor(nn.Module):
 
         skips = []
         for i, n in enumerate(self.down_blocks):
-            out = DenseBlock(self.growth_rate, n, upsample=False,
-                             policy=self.policy, name=f"denseDown{i}")(out, train=train)
+            out = dense(self.growth_rate, n, upsample=False,
+                        policy=self.policy, name=f"denseDown{i}")(out, train)
             skips.append(out)
             out = TransitionDown(self.policy, name=f"transDown{i}")(out, train=train)
 
-        out = DenseBlock(self.growth_rate, self.bottleneck_layers, upsample=True,
-                         policy=self.policy, name="bottleneck")(out, train=train)
+        out = dense(self.growth_rate, self.bottleneck_layers, upsample=True,
+                    policy=self.policy, name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
             skip = skips.pop()
             out = TransitionUp(out.shape[-1], self.policy,
                                name=f"transUp{i}")(out, skip)
-            out = DenseBlock(self.growth_rate, n, upsample=(i < len(self.up_blocks) - 1),
-                             policy=self.policy, name=f"denseUp{i}")(out, train=train)
+            out = dense(self.growth_rate, n, upsample=(i < len(self.up_blocks) - 1),
+                        policy=self.policy, name=f"denseUp{i}")(out, train)
 
         # L2-normalize feature vectors per pixel (reference tiramisu.py:105,
         # torch F.normalize: x / max(||x||_2, 1e-12)).
@@ -229,12 +239,14 @@ class FCDenseNet(nn.Module):
     out_chans_first_conv: int = 48
     kernel_size: int = 1
     policy: DTypePolicy = DEFAULT_POLICY
+    remat: bool = False
 
     def setup(self):
         self.featureExtractor = FCDenseNetFeatureExtractor(
             down_blocks=self.down_blocks, up_blocks=self.up_blocks,
             bottleneck_layers=self.bottleneck_layers, growth_rate=self.growth_rate,
-            out_chans_first_conv=self.out_chans_first_conv, policy=self.policy)
+            out_chans_first_conv=self.out_chans_first_conv, policy=self.policy,
+            remat=self.remat)
         self.classifier = FCDenseNetClassifier(
             n_classes=self.n_classes, kernel_size=self.kernel_size,
             policy=self.policy)
@@ -255,10 +267,10 @@ def fcdensenet57(n_classes, kernel_size=1, policy=DEFAULT_POLICY):
                       kernel_size=kernel_size, policy=policy)
 
 
-def fcdensenet67(n_classes, policy=DEFAULT_POLICY):
+def fcdensenet67(n_classes, policy=DEFAULT_POLICY, remat=False):
     return FCDenseNet(n_classes=n_classes, down_blocks=(5,) * 5, up_blocks=(5,) * 5,
                       bottleneck_layers=5, growth_rate=16, out_chans_first_conv=48,
-                      policy=policy)
+                      policy=policy, remat=remat)
 
 
 def fcdensenet103(n_classes, policy=DEFAULT_POLICY):

@@ -122,6 +122,43 @@ def test_encdecnet_forward():
     np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_fcdensenet_remat_parity():
+    """remat=True must change memory behavior only: identical param tree,
+    bit-identical eval forward/grads, train-mode within float noise (the
+    checkpoint barriers change fusion order, not semantics)."""
+    from sim2real_lane_segment_tpu.models.tiramisu import FCDenseNet
+    kw = dict(n_classes=4, down_blocks=(2, 2), up_blocks=(2, 2),
+              bottleneck_layers=2, growth_rate=4, out_chans_first_conv=8,
+              policy=F32_POLICY)
+    m0, m1 = FCDenseNet(**kw), FCDenseNet(**kw, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 24, 32, 3)),
+                    jnp.float32)
+    v = m0.init(jax.random.key(0), x)
+    v1 = m1.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(v1))
+
+    def loss(params, mdl, train):
+        if train:
+            out, _ = mdl.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                train=True, rngs={"dropout": jax.random.key(1)},
+                mutable=["batch_stats"])
+        else:
+            out = mdl.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                train=False)
+        return jnp.sum(out ** 2)
+
+    for train, tol in ((False, 0.0), (True, 1e-3)):
+        l0, g0 = jax.value_and_grad(loss)(v["params"], m0, train)
+        l1, g1 = jax.value_and_grad(loss)(v["params"], m1, train)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=tol or 0)
+        md = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), g0, g1)))
+        assert md <= tol, f"train={train}: max grad diff {md}"
+
+
 def test_cyclegan_generator_param_count(x120):
     model = GeneratorResNet(num_residual_blocks=9)
     variables = jax.eval_shape(model.init, jax.random.key(0), x120)
