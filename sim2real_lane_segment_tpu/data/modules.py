@@ -61,6 +61,28 @@ class BaseDataModule:
     def train_batches(self, epoch: int) -> Iterator[Batch]:
         raise NotImplementedError
 
+    def train_scan_inputs(self, epoch: int):
+        """Inputs for the scanned multi-step dispatch (loop.py): the
+        device-resident view of the train split plus the epoch's batch
+        index matrix [n_steps, batch_size].  Returns None whenever the
+        per-batch path must be used (no device cache, view degraded to
+        host reads, or the module yields structured batches like MME's
+        4-tuples)."""
+        return self._scan_inputs(None, epoch)
+
+    def _scan_inputs(self, view, epoch: int):
+        if view is None or view.images is None or view.labels is None:
+            return None
+        idx = self._train_epoch_indices(epoch)
+        n = len(idx) // self.batch_size
+        if n == 0:
+            return None
+        idx = idx[: n * self.batch_size]
+        return view, np.asarray(idx, np.int32).reshape(n, self.batch_size)
+
+    def _train_epoch_indices(self, epoch: int) -> np.ndarray:
+        raise NotImplementedError
+
     def _view(self, *datasets: RightLaneDataset):
         """Device-resident view of concat(*datasets), built lazily and
         keyed by dataset identity (so aliased splits — e.g. the two-domain
@@ -100,10 +122,17 @@ class SimulatorDataModule(BaseDataModule):
             os.path.join(self.data_path, "test"), True)
         self._set_native_size("train")
 
+    def _train_epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = samplers.shuffle_epoch(len(self.datasets["train"]), self.seed, epoch)
+        return samplers.shard(idx, self.shard_id, self.num_shards, self.batch_size)
+
+    def train_scan_inputs(self, epoch: int):
+        view = self._view(self.datasets["train"]) if self.device_cache else None
+        return self._scan_inputs(view, epoch)
+
     def train_batches(self, epoch: int) -> Iterator[Batch]:
         ds = self.datasets["train"]
-        idx = samplers.shuffle_epoch(len(ds), self.seed, epoch)
-        idx = samplers.shard(idx, self.shard_id, self.num_shards, self.batch_size)
+        idx = self._train_epoch_indices(epoch)
         view = self._view(ds) if self.device_cache else None
         for b in samplers.batched(idx, self.batch_size, drop_last=True):
             yield view.gather(b) if view else ds.read_batch(b, self.native_size)
@@ -136,13 +165,21 @@ class TwoDomainDataModule(BaseDataModule):
             ys.append(y)
         return np.stack(xs), np.stack(ys)
 
-    def train_batches(self, epoch: int) -> Iterator[Batch]:
+    def _train_epoch_indices(self, epoch: int) -> np.ndarray:
         idx = samplers.two_domain_epoch(
             len(self.datasets["source"]), len(self.datasets["targetTrain"]),
             self.seed, epoch)
-        idx = samplers.shard(idx, self.shard_id, self.num_shards, self.batch_size)
+        return samplers.shard(idx, self.shard_id, self.num_shards, self.batch_size)
+
+    def train_scan_inputs(self, epoch: int):
         # sampler ids index concat(source, target) — matching the view's
         # concatenated device tensor
+        view = (self._view(self.datasets["source"], self.datasets["targetTrain"])
+                if self.device_cache else None)
+        return self._scan_inputs(view, epoch)
+
+    def train_batches(self, epoch: int) -> Iterator[Batch]:
+        idx = self._train_epoch_indices(epoch)
         view = (self._view(self.datasets["source"], self.datasets["targetTrain"])
                 if self.device_cache else None)
         for b in samplers.batched(idx, self.batch_size, drop_last=True):
@@ -159,6 +196,9 @@ class TwoDomainMMEDataModule(TwoDomainDataModule):
         assert n_labelled <= len(self.datasets["targetUnlabelled"]), (
             "MME requires len(labelled) <= len(unlabelled) "
             "(reference dataModules.py:112)")
+
+    def train_scan_inputs(self, epoch: int):
+        return None  # structured (labelled, unlabelled) batches — no scan path
 
     def train_batches(self, epoch: int) -> Iterator[Batch]:
         """Yields ((x_labelled, y), x_unlabelled) 4-tuple batches."""

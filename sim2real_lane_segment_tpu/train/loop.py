@@ -86,6 +86,9 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
             _restore_for_resume(ckpt_mgr, latest_mgr, out_dir, state,
                                 best_iou, best_state, start_epoch)
 
+    # the scanned-epoch fast path only replicates the DEFAULT supervised
+    # step semantics; custom step fns (MME, distill) use the per-batch loop
+    scan_ok = train_step_fn is None
     if train_step_fn is None:
         def train_step_fn(state, batch, key, epoch):
             images, labels = batch
@@ -96,7 +99,7 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
         best_iou, best_state, global_step = _fit_epochs(
             trainer, state, data, logger, ckpt_mgr, latest_mgr, key,
             best_iou, best_state, global_step, start_epoch, max_epochs,
-            train_step_fn, log_every)
+            train_step_fn, log_every, scan_ok)
     finally:
         # async saves must be finalized even if a train step raised, or
         # the best checkpoint of the run is left half-written
@@ -176,9 +179,20 @@ def _is_transient_backend_error(e: BaseException) -> bool:
     return any(m in str(e) for m in _TRANSIENT_MARKERS)
 
 
+# scan-dispatch chunk: steps fused into one device dispatch.  Bounds the
+# retry/compile unit; epochs shorter than this are one dispatch total.
+_SCAN_CHUNK = 32
+
+
 def _run_train_epoch(trainer, state, data, logger, key, global_step,
-                     epoch, train_step_fn, log_every):
+                     epoch, train_step_fn, log_every, scan_ok=False):
     """One epoch of train steps + the validation pass (the retry unit)."""
+    if scan_ok and hasattr(trainer, "train_steps_scan"):
+        scan = getattr(data, "train_scan_inputs", lambda e: None)(epoch)
+        if scan is not None:
+            return _run_train_epoch_scanned(
+                trainer, state, scan, data, logger, key, global_step,
+                epoch, log_every)
     n_steps = 0
     # disk reads/stacking overlap device compute on a reader thread
     for batch in background_batches(lambda e=epoch: data.train_batches(e)):
@@ -193,9 +207,41 @@ def _run_train_epoch(trainer, state, data, logger, key, global_step,
     return state, global_step, n_steps, val
 
 
+def _run_train_epoch_scanned(trainer, state, scan, data, logger, key,
+                             global_step, epoch, log_every):
+    """Epoch as K-step scan dispatches over the device-resident split.
+
+    Semantics identical to the per-batch path — same batches (the module's
+    epoch index matrix), same per-step key chain (train_steps_scan splits
+    the carried key exactly like the loop above), same logging values and
+    cadence — but one dispatch per _SCAN_CHUNK steps instead of one per
+    step, hiding the per-dispatch relay latency that is visible next to
+    small-model step times (ROADMAP round-5 item)."""
+    import jax.numpy as jnp
+
+    view, idx = scan
+    lr = jnp.float32(trainer.lr_at(epoch))
+    n_steps = 0
+    for i in range(0, len(idx), _SCAN_CHUNK):
+        chunk = idx[i:i + _SCAN_CHUNK]
+        state, key, logs = trainer.train_steps_scan(
+            state, view.images, view.labels, chunk, key, lr)
+        logged_rows = [j for j in range(len(chunk))
+                       if (global_step + j + 1) % log_every == 0]
+        if logged_rows:
+            logs = jax.device_get(logs)
+            for j in logged_rows:
+                logger.log(global_step + j + 1,
+                           {f"train/{k}": v[j] for k, v in logs.items()})
+        n_steps += len(chunk)
+        global_step += len(chunk)
+    val = run_eval(trainer.eval_step, state, data.val_batches())
+    return state, global_step, n_steps, val
+
+
 def _fit_epochs(trainer, state, data, logger, ckpt_mgr, latest_mgr, key,
                 best_iou, best_state, global_step, start_epoch, max_epochs,
-                train_step_fn, log_every):
+                train_step_fn, log_every, scan_ok=False):
     # host snapshot: train_step donates its input state, so device aliases
     # are invalidated — and it doubles as the transient-error retry point
     snap = jax.device_get(state)
@@ -209,7 +255,7 @@ def _fit_epochs(trainer, state, data, logger, ckpt_mgr, latest_mgr, key,
             try:
                 state, global_step, n_steps, val = _run_train_epoch(
                     trainer, state, data, logger, k_epoch, step0,
-                    epoch, train_step_fn, log_every)
+                    epoch, train_step_fn, log_every, scan_ok)
                 break
             except Exception as e:
                 if attempt >= _MAX_EPOCH_RETRIES or \

@@ -74,6 +74,37 @@ class SupervisedTrainer:
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, images: jax.Array,
                    labels: jax.Array, key: jax.Array, lr: jax.Array):
+        return self._train_step_impl(state, images, labels, key, lr)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_steps_scan(self, state: TrainState, images: jax.Array,
+                         labels: jax.Array, idx: jax.Array, key: jax.Array,
+                         lr: jax.Array):
+        """K train steps in ONE dispatch over a device-resident split.
+
+        ``images``/``labels`` are the whole cached split (device_cache.py);
+        ``idx`` is [K, B] row indices.  Each scan iteration gathers its
+        batch on device and runs the identical train-step program; the key
+        chain replicates K sequential ``split(key)`` draws, so results are
+        bit-identical to K individual ``train_step`` dispatches.  Motive:
+        with small models the per-dispatch relay latency (~1.3 ms through
+        the tunneled chip) is visible next to the ~6 ms step; scanning K
+        steps amortizes it to one dispatch per K (ROADMAP round-5 item).
+        Returns (state, key', logs stacked [K]).
+        """
+        def body(carry, idx_b):
+            st, k = carry
+            k, k_step = jax.random.split(k)
+            x = jnp.take(images, idx_b, axis=0)
+            y = jnp.take(labels, idx_b, axis=0)
+            st, logs = self._train_step_impl(st, x, y, k_step, lr)
+            return (st, k), logs
+
+        (state, key), logs = jax.lax.scan(body, (state, key), idx)
+        return state, key, logs
+
+    def _train_step_impl(self, state: TrainState, images: jax.Array,
+                         labels: jax.Array, key: jax.Array, lr: jax.Array):
         k_aug, k_drop = jax.random.split(key)
         if self.augment:
             x, y = augment_batch(k_aug, images, labels, self.cfg)

@@ -216,6 +216,113 @@ def test_fit_loop_end_to_end(tmp_path, rng):
     assert "val_iou" in meta["metrics"]
 
 
+def test_train_steps_scan_matches_sequential_steps(rng):
+    """One train_steps_scan dispatch == K sequential train_step calls:
+    same batches (gathered by idx), same key-split chain, equal state and
+    per-step logs up to float-reassociation noise (the scan body is a
+    different XLA program, so fusion order differs at the ~1e-8 level;
+    train/supervised.py train_steps_scan)."""
+    import jax.numpy as jnp
+
+    tr = small_trainer(augment=True)
+    images = jnp.asarray(rng.integers(0, 255, (10, H, W, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 4, (10, H, W), dtype=np.uint8))
+    idx = jnp.asarray(np.array([[0, 3, 9, 1], [2, 2, 7, 4], [5, 8, 6, 0]],
+                               np.int32))
+    lr = jnp.float32(1e-3)
+    key = jax.random.key(11)
+
+    s_scan = tr.init_state(jax.random.key(0))
+    s_seq = jax.device_get(s_scan)  # independent copy (scan donates)
+    s_scan, key_out, logs = tr.train_steps_scan(
+        s_scan, images, labels, idx, key, lr)
+
+    k = key
+    seq_logs = []
+    for row in np.asarray(idx):
+        k, k_step = jax.random.split(k)
+        s_seq, lg = tr.train_step(s_seq, jnp.take(images, jnp.asarray(row), 0),
+                                  jnp.take(labels, jnp.asarray(row), 0),
+                                  k_step, lr)
+        seq_logs.append(jax.device_get(lg))
+
+    # Discrimination lives in the LOGS: a matched scan reproduces each
+    # step's loss/acc to <1e-6 (same batch, same augment key), while a
+    # wrong key or wrong batch shifts the loss by >5e-4 (negative control
+    # below).  Params are NOT a sharp signal: AdamW normalizes gradients
+    # by sqrt(v), so for noise-dominated gradient elements the update is
+    # the sign of float-reassociation noise — matched runs still drift
+    # apart at the ~lr*K scale there; bound loosely.
+    def max_diff(p, q):
+        return max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                   for a, b in zip(jax.tree_util.tree_leaves(p),
+                                   jax.tree_util.tree_leaves(q)))
+
+    assert max_diff(s_scan.params, s_seq.params) < 1e-3  # ~lr * K
+    logs = jax.device_get(logs)
+    for i, lg in enumerate(seq_logs):
+        for name in lg:
+            np.testing.assert_allclose(logs[name][i], lg[name],
+                                       rtol=1e-5, atol=1e-5)
+
+    # negative control: a different key shifts per-step losses visibly,
+    # so the tolerance above would catch wrong keys/batches
+    s_alt = tr.init_state(jax.random.key(0))
+    s_alt, _, logs_alt = tr.train_steps_scan(s_alt, images, labels, idx,
+                                             jax.random.key(99), lr)
+    logs_alt = jax.device_get(logs_alt)
+    alt_diff = max(abs(float(logs_alt["tr_loss"][i]) -
+                       float(seq_logs[i]["tr_loss"])) for i in range(len(idx)))
+    assert alt_diff > 1e-4, alt_diff
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(key_out)),
+                                  np.asarray(jax.random.key_data(k)))
+
+
+def test_fit_scan_dispatch_matches_per_batch_path(tmp_path, rng, monkeypatch):
+    """fit() with device_cache (scanned-epoch dispatch) reproduces the
+    per-batch path (same batches/keys; float-reassociation tolerance) —
+    including across a _SCAN_CHUNK boundary (chunk forced to 1 step so
+    the key/state carry crosses dispatches)."""
+    from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
+    from sim2real_lane_segment_tpu.train import loop
+    from sim2real_lane_segment_tpu.train.loop import fit
+
+    root = make_sim_tree(tmp_path, rng)
+
+    def run(cache: bool, out: str, chunk: int | None):
+        if chunk is not None:
+            monkeypatch.setattr(loop, "_SCAN_CHUNK", chunk)
+        dm = SimulatorDataModule(data_path=root, batch_size=4,
+                                 device_cache=cache)
+        dm.setup()
+        tr = small_trainer(augment=True)
+        best, iou, _ = fit(tr, tr.init_state(jax.random.key(0)), dm,
+                           max_epochs=2, out_dir=str(tmp_path / out),
+                           log_every=1)
+        return jax.device_get(best), iou
+
+    ref_state, ref_iou = run(False, "per_batch", None)
+    for chunk, out in ((32, "scan32"), (1, "scan1")):
+        st, iou = run(True, out, chunk)
+        assert iou == pytest.approx(ref_iou, rel=1e-3, abs=1e-3)
+        md = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                 for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                                 jax.tree_util.tree_leaves(ref_state.params)))
+        assert md < 5e-3, md  # AdamW noise drift only (~lr * n_steps)
+
+    # same train-loss stream step for step (same steps logged)
+    def losses(out):
+        import json
+        with open(tmp_path / out / "metrics.jsonl") as f:
+            return [(j["step"], j["train/tr_loss"]) for j in map(json.loads, f)
+                    if "train/tr_loss" in j]
+    for out in ("scan32", "scan1"):
+        got, ref = losses(out), losses("per_batch")
+        assert [s for s, _ in got] == [s for s, _ in ref]
+        np.testing.assert_allclose([v for _, v in got], [v for _, v in ref],
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_fit_resume_continues_from_checkpoint(tmp_path, rng):
     from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
     from sim2real_lane_segment_tpu.train.loop import fit
