@@ -300,14 +300,10 @@ def main(args=None) -> dict:
                                               device_cache=args.device_cache)
                 data.setup()
 
-                def mme_step(state, batch, key, epoch):
-                    (x_lab, y), x_unl = batch
-                    lr_g_fe, lr_g_cls, lr_f = mme.lrs_at(epoch)
-                    return mme.mme_train_step(state, x_lab, y, x_unl, key,
-                                              lr_g_fe, lr_g_cls, lr_f)
-
+                # MMETrainer.default_step_fn handles the 4-tuple batches
+                # (and the scanned dispatch under --device_cache)
                 m_best, _, _ = fit(mme, m_state, data, max_epochs=args.epochs,
-                                   out_dir="results/mme", train_step_fn=mme_step,
+                                   out_dir="results/mme",
                                    resume=not args.force)
             results["mme"] = run_eval(mme.eval_step, m_best,
                                       target_test_batches())

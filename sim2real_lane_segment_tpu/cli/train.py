@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "'tiny' is a fast smoke-test config)")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the run's checkpoint dir if present")
+    p.add_argument("--fast_train", action="store_true",
+                   help="segment-wise FC-DenseNet train forward (no dense "
+                        "concats in fwd/bwd; same BN semantics, own dropout "
+                        "key chain — models/tiramisu_fast.py)")
     p.add_argument("--profile", action="store_true",
                    help="Capture a JAX profiler trace (xplane) of the first "
                         "epochs under <out_dir>/profile")
@@ -74,8 +78,11 @@ def main(args=None) -> dict:
     model = build_model(args.arch, 4)
     tkw = dict(num_cls=4, lr=args.learningRate, decay=args.decay,
                lr_ratio=args.lrRatio, height=args.height, width=args.width,
-               gray=args.gray, augment=args.augment, model=model)
+               gray=args.gray, augment=args.augment, model=model,
+               fast_train=args.fast_train)
 
+    # the trainer's default_step_fn handles each regime's batch structure
+    # (and enables the scanned-epoch dispatch under --device_cache)
     train_step_fn = None
     if args.trainType == "sim":
         data = SimulatorDataModule(**kw)
@@ -88,12 +95,6 @@ def main(args=None) -> dict:
             raise SystemExit("--trainType=mme requires --pretrained_path")
         data = TwoDomainMMEDataModule(**kw)
         trainer = MMETrainer(**tkw)
-
-        def train_step_fn(state, batch, key, epoch):
-            (x_lab, y), x_unl = batch
-            lr_g_fe, lr_g_cls, lr_f = trainer.lrs_at(epoch)
-            return trainer.mme_train_step(state, x_lab, y, x_unl, key,
-                                          lr_g_fe, lr_g_cls, lr_f)
     else:  # pragma: no cover
         raise RuntimeError(f"Not recognizable training type: {args.trainType}")
 

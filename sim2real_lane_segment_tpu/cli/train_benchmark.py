@@ -20,7 +20,8 @@ import time
 from . import common
 
 
-def measure(arch: str, batch: int, steps: int, iters: int) -> dict:
+def measure(arch: str, batch: int, steps: int, iters: int,
+            fast_train: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -29,7 +30,8 @@ def measure(arch: str, batch: int, steps: int, iters: int) -> dict:
     from .test import build_model
 
     trainer = SupervisedTrainer(num_cls=4, augment=True,
-                                model=build_model(arch, 4))
+                                model=build_model(arch, 4),
+                                fast_train=fast_train)
     state = trainer.init_state(jax.random.key(0))
 
     rng = np.random.default_rng(0)
@@ -58,7 +60,8 @@ def measure(arch: str, batch: int, steps: int, iters: int) -> dict:
     dt = time.perf_counter() - t0
 
     ips = batch * steps * iters / dt
-    return {"metric": f"train_images_per_sec_{arch}",
+    name = f"train_images_per_sec_{arch}" + ("_fast" if fast_train else "")
+    return {"metric": name,
             "value": round(ips, 1), "unit": "images/sec/chip",
             "batch": batch,
             "step_ms": round(dt / (steps * iters) * 1e3, 3),
@@ -202,13 +205,19 @@ def main(args=None) -> None:
     p.add_argument("--stages", action="store_true",
                    help="per-stage breakdown (augment substages, forward, "
                         "fwd+bwd, optimizer) instead of the headline number")
+    p.add_argument("--fast_train", action="store_true",
+                   help="measure the segment-wise FC-DenseNet train forward "
+                        "(models/tiramisu_fast.fast_apply_train)")
     args = p.parse_args(args)
     common.setup_runtime()
 
-    fn = measure_stages if args.stages else measure
     for arch in args.archs:
-        print(json.dumps(fn(arch, args.batch_size, args.steps,
-                            args.iters)))
+        if args.stages:
+            print(json.dumps(measure_stages(arch, args.batch_size,
+                                            args.steps, args.iters)))
+        else:
+            print(json.dumps(measure(arch, args.batch_size, args.steps,
+                                     args.iters, args.fast_train)))
 
 
 if __name__ == "__main__":

@@ -63,11 +63,10 @@ class BaseDataModule:
 
     def train_scan_inputs(self, epoch: int):
         """Inputs for the scanned multi-step dispatch (loop.py): the
-        device-resident view of the train split plus the epoch's batch
-        index matrix [n_steps, batch_size].  Returns None whenever the
-        per-batch path must be used (no device cache, view degraded to
-        host reads, or the module yields structured batches like MME's
-        4-tuples)."""
+        device-resident arrays of the train split plus the epoch's batch
+        index matrix [n_steps, ...] (trainer.run_scan_chunk interprets
+        both).  Returns None whenever the per-batch path must be used
+        (no device cache, or a view degraded to host reads)."""
         return self._scan_inputs(None, epoch)
 
     def _scan_inputs(self, view, epoch: int):
@@ -78,7 +77,8 @@ class BaseDataModule:
         if n == 0:
             return None
         idx = idx[: n * self.batch_size]
-        return view, np.asarray(idx, np.int32).reshape(n, self.batch_size)
+        return ((view.images, view.labels),
+                np.asarray(idx, np.int32).reshape(n, self.batch_size))
 
     def _train_epoch_indices(self, epoch: int) -> np.ndarray:
         raise NotImplementedError
@@ -93,6 +93,25 @@ class BaseDataModule:
             self._views[key] = DeviceCachedView.from_datasets(
                 datasets, self.native_size)
         return self._views[key]
+
+    def release_device_cache(self) -> bool:
+        """Free every device-resident split cache and revert the module to
+        host reads permanently.  HBM-pressure relief valve: on a shared
+        chip another tenant's allocations can leave too little memory for
+        caches + activations — the fit loop calls this after repeated
+        RESOURCE_EXHAUSTED epoch failures (train/loop.py) so a multi-hour
+        run trades speed for survival instead of dying.  Returns True if
+        any cache was actually freed."""
+        freed = False
+        for v in self._views.values():
+            if v.images is not None or v.labels is not None:
+                v.images = v.labels = None
+                freed = True
+        self._views.clear()
+        if self.device_cache:
+            self.device_cache = False
+            freed = True
+        return freed
 
     def _eval_batches(self, ds: RightLaneDataset) -> Iterator[Batch]:
         idx = np.arange(len(ds))
@@ -198,7 +217,32 @@ class TwoDomainMMEDataModule(TwoDomainDataModule):
             "(reference dataModules.py:112)")
 
     def train_scan_inputs(self, epoch: int):
-        return None  # structured (labelled, unlabelled) batches — no scan path
+        """MME scan inputs: (lab images, lab labels, unl images) device
+        arrays + idx [n_steps, 2, batch] pairing each step's labelled
+        batch (row 0, concat(source,target) ids) with its unlabelled
+        batch (row 1) — MMETrainer.run_scan_chunk's contract."""
+        if not self.device_cache:
+            return None
+        lab = self._view(self.datasets["source"], self.datasets["targetTrain"])
+        unl = self._view(self.datasets["targetUnlabelled"])
+        if lab.images is None or lab.labels is None or unl.images is None:
+            return None
+        lab_idx, unl_idx = samplers.mme_epoch(
+            len(self.datasets["source"]), len(self.datasets["targetTrain"]),
+            len(self.datasets["targetUnlabelled"]), self.seed, epoch)
+        lab_idx = samplers.shard(lab_idx, self.shard_id, self.num_shards,
+                                 self.batch_size)
+        unl_idx = samplers.shard(unl_idx, self.shard_id, self.num_shards,
+                                 self.batch_size)
+        n = min(len(lab_idx), len(unl_idx)) // self.batch_size
+        if n == 0:
+            return None
+        cut = n * self.batch_size
+        idx = np.stack([np.asarray(lab_idx[:cut], np.int32)
+                        .reshape(n, self.batch_size),
+                        np.asarray(unl_idx[:cut], np.int32)
+                        .reshape(n, self.batch_size)], axis=1)
+        return (lab.images, lab.labels, unl.images), idx
 
     def train_batches(self, epoch: int) -> Iterator[Batch]:
         """Yields ((x_labelled, y), x_unlabelled) 4-tuple batches."""

@@ -66,6 +66,7 @@ grad_reverse.defvjp(_gr_fwd, _gr_bwd)
 class DenseLayer(nn.Module):
     growth_rate: int
     policy: DTypePolicy = DEFAULT_POLICY
+    dropout_rate: float = 0.2  # reference layers.py Dropout2d(0.2)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -78,7 +79,8 @@ class DenseLayer(nn.Module):
                     dtype=self.policy.compute_dtype,
                     param_dtype=self.policy.param_dtype)(x)
         # Dropout2d: drop whole channels per sample (noise over H, W shared).
-        x = nn.Dropout(0.2, broadcast_dims=(1, 2), deterministic=not train)(x)
+        x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                       deterministic=not train)(x)
         return x
 
 
@@ -87,6 +89,7 @@ class DenseBlock(nn.Module):
     n_layers: int
     upsample: bool = False
     policy: DTypePolicy = DEFAULT_POLICY
+    dropout_rate: float = 0.2
 
     # ``train`` is positional-or-keyword (not keyword-only) so the remat
     # variant can mark it static via jax.checkpoint's static_argnums
@@ -94,7 +97,8 @@ class DenseBlock(nn.Module):
     def __call__(self, x, train: bool):
         new_features = []
         for _ in range(self.n_layers):
-            out = DenseLayer(self.growth_rate, self.policy)(x, train=train)
+            out = DenseLayer(self.growth_rate, self.policy,
+                             self.dropout_rate)(x, train=train)
             x = jnp.concatenate([x, out.astype(x.dtype)], axis=-1)
             new_features.append(out)
         if self.upsample:
@@ -104,6 +108,7 @@ class DenseBlock(nn.Module):
 
 class TransitionDown(nn.Module):
     policy: DTypePolicy = DEFAULT_POLICY
+    dropout_rate: float = 0.2
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -116,7 +121,8 @@ class TransitionDown(nn.Module):
         x = nn.Conv(features, (1, 1), padding=0, use_bias=True,
                     dtype=self.policy.compute_dtype,
                     param_dtype=self.policy.param_dtype)(x)
-        x = nn.Dropout(0.2, broadcast_dims=(1, 2), deterministic=not train)(x)
+        x = nn.Dropout(self.dropout_rate, broadcast_dims=(1, 2),
+                       deterministic=not train)(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))  # VALID -> floor division
         return x
 
@@ -158,6 +164,7 @@ class FCDenseNetFeatureExtractor(nn.Module):
     # recomputing blocks from their inputs trades cheap MXU flops for the
     # dominant HBM traffic (bandwidth-bound at these shapes)
     remat: bool = False
+    dropout_rate: float = 0.2
 
     @property
     def feature_channels(self) -> int:
@@ -188,19 +195,23 @@ class FCDenseNetFeatureExtractor(nn.Module):
         skips = []
         for i, n in enumerate(self.down_blocks):
             out = dense(self.growth_rate, n, upsample=False,
-                        policy=self.policy, name=f"denseDown{i}")(out, train)
+                        policy=self.policy, dropout_rate=self.dropout_rate,
+                        name=f"denseDown{i}")(out, train)
             skips.append(out)
-            out = TransitionDown(self.policy, name=f"transDown{i}")(out, train=train)
+            out = TransitionDown(self.policy, self.dropout_rate,
+                                 name=f"transDown{i}")(out, train=train)
 
         out = dense(self.growth_rate, self.bottleneck_layers, upsample=True,
-                    policy=self.policy, name="bottleneck")(out, train)
+                    policy=self.policy, dropout_rate=self.dropout_rate,
+                    name="bottleneck")(out, train)
 
         for i, n in enumerate(self.up_blocks):
             skip = skips.pop()
             out = TransitionUp(out.shape[-1], self.policy,
                                name=f"transUp{i}")(out, skip)
             out = dense(self.growth_rate, n, upsample=(i < len(self.up_blocks) - 1),
-                        policy=self.policy, name=f"denseUp{i}")(out, train)
+                        policy=self.policy, dropout_rate=self.dropout_rate,
+                        name=f"denseUp{i}")(out, train)
 
         # L2-normalize feature vectors per pixel (reference tiramisu.py:105,
         # torch F.normalize: x / max(||x||_2, 1e-12)).
@@ -240,13 +251,14 @@ class FCDenseNet(nn.Module):
     kernel_size: int = 1
     policy: DTypePolicy = DEFAULT_POLICY
     remat: bool = False
+    dropout_rate: float = 0.2
 
     def setup(self):
         self.featureExtractor = FCDenseNetFeatureExtractor(
             down_blocks=self.down_blocks, up_blocks=self.up_blocks,
             bottleneck_layers=self.bottleneck_layers, growth_rate=self.growth_rate,
             out_chans_first_conv=self.out_chans_first_conv, policy=self.policy,
-            remat=self.remat)
+            remat=self.remat, dropout_rate=self.dropout_rate)
         self.classifier = FCDenseNetClassifier(
             n_classes=self.n_classes, kernel_size=self.kernel_size,
             policy=self.policy)

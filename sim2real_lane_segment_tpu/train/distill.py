@@ -61,6 +61,10 @@ class DistillTrainer:
     def lr_at(self, epoch: int) -> float:
         return cosine_annealing(self.lr, self.lr / self.lr_ratio, 25, epoch)
 
+    def default_step_fn(self, state, batch, key, epoch):
+        images, labels = batch
+        return self.train_step(state, images, labels, key, self.lr_at(epoch))
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: DistillState, images: jax.Array,
                    labels: jax.Array, key: jax.Array, lr: jax.Array):

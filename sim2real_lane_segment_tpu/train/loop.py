@@ -86,14 +86,12 @@ def fit(trainer, state, data, *, max_epochs: int, out_dir: str,
             _restore_for_resume(ckpt_mgr, latest_mgr, out_dir, state,
                                 best_iou, best_state, start_epoch)
 
-    # the scanned-epoch fast path only replicates the DEFAULT supervised
-    # step semantics; custom step fns (MME, distill) use the per-batch loop
-    scan_ok = train_step_fn is None
+    # the scanned-epoch fast path only replicates the trainer's DEFAULT
+    # step semantics; explicit custom step fns (distill, CLI overrides)
+    # use the per-batch loop
+    scan_ok = train_step_fn is None and hasattr(trainer, "run_scan_chunk")
     if train_step_fn is None:
-        def train_step_fn(state, batch, key, epoch):
-            images, labels = batch
-            lr = trainer.lr_at(epoch)
-            return trainer.train_step(state, images, labels, key, lr)
+        train_step_fn = trainer.default_step_fn
 
     try:
         best_iou, best_state, global_step = _fit_epochs(
@@ -187,7 +185,7 @@ _SCAN_CHUNK = 32
 def _run_train_epoch(trainer, state, data, logger, key, global_step,
                      epoch, train_step_fn, log_every, scan_ok=False):
     """One epoch of train steps + the validation pass (the retry unit)."""
-    if scan_ok and hasattr(trainer, "train_steps_scan"):
+    if scan_ok:
         scan = getattr(data, "train_scan_inputs", lambda e: None)(epoch)
         if scan is not None:
             return _run_train_epoch_scanned(
@@ -216,16 +214,16 @@ def _run_train_epoch_scanned(trainer, state, scan, data, logger, key,
     the carried key exactly like the loop above), same logging values and
     cadence — but one dispatch per _SCAN_CHUNK steps instead of one per
     step, hiding the per-dispatch relay latency that is visible next to
-    small-model step times (ROADMAP round-5 item)."""
-    import jax.numpy as jnp
-
-    view, idx = scan
-    lr = jnp.float32(trainer.lr_at(epoch))
+    small-model step times (ROADMAP round-5 item).  ``scan`` is the
+    module's (device arrays, index matrix [n_steps, ...]) pair; the
+    trainer's run_scan_chunk interprets both (supervised: [K, B] over
+    (images, labels); MME: [K, 2, B] over (lab_img, lab_lab, unl_img))."""
+    arrays, idx = scan
     n_steps = 0
     for i in range(0, len(idx), _SCAN_CHUNK):
         chunk = idx[i:i + _SCAN_CHUNK]
-        state, key, logs = trainer.train_steps_scan(
-            state, view.images, view.labels, chunk, key, lr)
+        state, key, logs = trainer.run_scan_chunk(
+            state, arrays, chunk, key, epoch)
         logged_rows = [j for j in range(len(chunk))
                        if (global_step + j + 1) % log_every == 0]
         if logged_rows:
@@ -267,6 +265,15 @@ def _fit_epochs(trainer, state, data, logger, ckpt_mgr, latest_mgr, key,
                     "replaying epoch from snapshot in %.0fs (retry %d/%d)",
                     epoch, str(e).splitlines()[0] if str(e) else type(e),
                     wait, attempt + 1, _MAX_EPOCH_RETRIES)
+                # HBM-pressure relief: if memory exhaustion repeats, free
+                # the device-resident dataset caches before retrying — the
+                # run continues on host reads instead of OOM-looping
+                if attempt >= 1 and "RESOURCE_EXHAUSTED" in str(e) and \
+                        getattr(data, "release_device_cache", None):
+                    if data.release_device_cache():
+                        log.warning("released device dataset caches to "
+                                    "relieve HBM pressure; continuing "
+                                    "with host reads")
                 time.sleep(wait)
                 state, global_step = snap, step0
 

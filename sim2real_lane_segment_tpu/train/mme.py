@@ -96,12 +96,61 @@ class MMETrainer(SupervisedTrainer):
 
     # -- step ---------------------------------------------------------------
 
+    def default_step_fn(self, state, batch, key, epoch):
+        (x_lab, y), x_unl = batch
+        lr_g_fe, lr_g_cls, lr_f = self.lrs_at(epoch)
+        return self.mme_train_step(state, x_lab, y, x_unl, key,
+                                   lr_g_fe, lr_g_cls, lr_f)
+
+    def run_scan_chunk(self, state, arrays, idx_chunk, key, epoch):
+        """MME scan dispatch: ``arrays`` = (labelled images, labels,
+        unlabelled images) device-resident; ``idx_chunk`` [K, 2, B] pairs
+        each step's labelled row (0) with its unlabelled row (1) — the
+        ParallelDataset pairing in index form."""
+        lab_img, lab_lab, unl_img = arrays
+        lr_g_fe, lr_g_cls, lr_f = (jnp.float32(v) for v in self.lrs_at(epoch))
+        return self.mme_train_steps_scan(state, lab_img, lab_lab, unl_img,
+                                         jnp.asarray(idx_chunk), key,
+                                         lr_g_fe, lr_g_cls, lr_f)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def mme_train_steps_scan(self, state: MMETrainState,
+                             lab_images: jax.Array, lab_labels: jax.Array,
+                             unl_images: jax.Array, idx: jax.Array,
+                             key: jax.Array, lr_g_fe: jax.Array,
+                             lr_g_cls: jax.Array, lr_f: jax.Array):
+        """K MME steps in one dispatch (same shape as the supervised
+        train_steps_scan, supervised.py): idx [K, 2, B] gathers the
+        labelled/unlabelled batches on device; the key chain replicates K
+        sequential split(key) draws."""
+        def body(carry, idx_b):
+            st, k = carry
+            k, k_step = jax.random.split(k)
+            st, logs = self._mme_train_step_impl(
+                st, jnp.take(lab_images, idx_b[0], axis=0),
+                jnp.take(lab_labels, idx_b[0], axis=0),
+                jnp.take(unl_images, idx_b[1], axis=0),
+                k_step, lr_g_fe, lr_g_cls, lr_f)
+            return (st, k), logs
+
+        (state, key), logs = jax.lax.scan(body, (state, key), idx)
+        return state, key, logs
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def mme_train_step(self, state: MMETrainState,
                        images_lab: jax.Array, labels: jax.Array,
                        images_unl: jax.Array, key: jax.Array,
                        lr_g_fe: jax.Array, lr_g_cls: jax.Array,
                        lr_f: jax.Array):
+        return self._mme_train_step_impl(state, images_lab, labels,
+                                         images_unl, key, lr_g_fe, lr_g_cls,
+                                         lr_f)
+
+    def _mme_train_step_impl(self, state: MMETrainState,
+                             images_lab: jax.Array, labels: jax.Array,
+                             images_unl: jax.Array, key: jax.Array,
+                             lr_g_fe: jax.Array, lr_g_cls: jax.Array,
+                             lr_f: jax.Array):
         k_aug_l, k_aug_u, k_drop_g, k_drop_f = jax.random.split(key, 4)
         if self.augment:
             x_lab, y = augment_batch(k_aug_l, images_lab, labels, self.cfg)

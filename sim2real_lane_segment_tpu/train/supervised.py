@@ -43,7 +43,7 @@ class SupervisedTrainer:
                  decay: float = 1e-4, lr_ratio: float = 1e3,
                  height: int = 120, width: int = 160, gray: bool = False,
                  augment: bool = True, policy: DTypePolicy = DEFAULT_POLICY,
-                 model=None):
+                 model=None, fast_train: bool = False):
         self.num_cls = num_cls
         self.lr = lr
         self.decay = decay
@@ -53,6 +53,12 @@ class SupervisedTrainer:
                                  min_crop_height=height // 2,
                                  max_crop_height=height * 4)
         self.model = model if model is not None else fcdensenet67(num_cls, policy=policy)
+        # segment-wise train forward (models/tiramisu_fast.fast_apply_train):
+        # avoids re-materializing the dense concats in fwd+bwd; only valid
+        # for FCDenseNet models.  Dropout masks come from the fast path's
+        # own key chain (same distribution, different realization).
+        from ..models.tiramisu import FCDenseNet
+        self.fast_train = fast_train and isinstance(self.model, FCDenseNet)
         self.tx = optim.adamw(decay)
 
     # -- state --------------------------------------------------------------
@@ -68,6 +74,21 @@ class SupervisedTrainer:
 
     def lr_at(self, epoch: int) -> float:
         return cosine_annealing(self.lr, self.lr / self.lr_ratio, 25, epoch)
+
+    def default_step_fn(self, state, batch, key, epoch):
+        """Per-batch step for the fit loop (loop.py) when no custom step
+        fn is given; subclasses with different batch structures override."""
+        images, labels = batch
+        return self.train_step(state, images, labels, key, self.lr_at(epoch))
+
+    def run_scan_chunk(self, state, arrays, idx_chunk, key, epoch):
+        """Scan-dispatch counterpart of default_step_fn: one dispatch over
+        a [K, B] index chunk into the device-resident split ``arrays``
+        (loop._run_train_epoch_scanned).  Returns (state, key', logs[K])."""
+        images, labels = arrays
+        return self.train_steps_scan(state, images, labels,
+                                     jnp.asarray(idx_chunk), key,
+                                     jnp.float32(self.lr_at(epoch)))
 
     # -- steps --------------------------------------------------------------
 
@@ -112,11 +133,20 @@ class SupervisedTrainer:
             x, y = eval_batch(images, labels, self.cfg)
 
         def loss_fn(params):
-            out, mut = self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, rngs={"dropout": k_drop}, mutable=["batch_stats"])
+            if self.fast_train:
+                from ..models.tiramisu_fast import fast_apply_train
+                out, new_bs = fast_apply_train(
+                    self.model,
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x, k_drop)
+            else:
+                out, mut = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x, train=True, rngs={"dropout": k_drop},
+                    mutable=["batch_stats"])
+                new_bs = mut["batch_stats"]
             loss = weighted_cross_entropy(out, y, self.num_cls)
-            return loss, (out, mut["batch_stats"])
+            return loss, (out, new_bs)
 
         (loss, (out, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)

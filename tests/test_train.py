@@ -323,6 +323,86 @@ def test_fit_scan_dispatch_matches_per_batch_path(tmp_path, rng, monkeypatch):
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_mme_scan_matches_sequential_steps(rng):
+    """mme_train_steps_scan == K sequential mme_train_step calls (same
+    [K,2,B] index pairing, same key chain); logs are the sharp signal
+    (see the supervised twin test above)."""
+    import jax.numpy as jnp
+    from sim2real_lane_segment_tpu.train.mme import MMETrainer
+
+    tr = MMETrainer(num_cls=4, height=H, width=W, augment=True,
+                    model=tiny_model())
+    lab_img = jnp.asarray(rng.integers(0, 255, (8, H, W, 3), dtype=np.uint8))
+    lab_lab = jnp.asarray(rng.integers(0, 4, (8, H, W), dtype=np.uint8))
+    unl_img = jnp.asarray(rng.integers(0, 255, (12, H, W, 3), dtype=np.uint8))
+    idx = jnp.asarray(np.array([[[0, 3, 7, 1], [2, 11, 5, 0]],
+                                [[2, 2, 6, 4], [9, 1, 1, 3]]], np.int32))
+    lrs = tuple(jnp.float32(v) for v in tr.lrs_at(0))
+    key = jax.random.key(5)
+
+    s_scan = tr.init_state(jax.random.key(0))
+    s_seq = jax.device_get(s_scan)
+    s_scan, _, logs = tr.mme_train_steps_scan(
+        s_scan, lab_img, lab_lab, unl_img, idx, key, *lrs)
+
+    k = key
+    seq_logs = []
+    for pair in np.asarray(idx):
+        k, ks = jax.random.split(k)
+        li, ui = jnp.asarray(pair[0]), jnp.asarray(pair[1])
+        s_seq, lg = tr.mme_train_step(
+            s_seq, jnp.take(lab_img, li, 0), jnp.take(lab_lab, li, 0),
+            jnp.take(unl_img, ui, 0), ks, *lrs)
+        seq_logs.append(jax.device_get(lg))
+
+    logs = jax.device_get(logs)
+    for i, lg in enumerate(seq_logs):
+        for name in lg:
+            np.testing.assert_allclose(logs[name][i], lg[name],
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_fit_mme_scan_dispatch_matches_per_batch_path(tmp_path, rng,
+                                                      monkeypatch):
+    """fit() on the MME regime with device_cache takes the scanned path
+    and reproduces the per-batch loss streams (same steps logged, float
+    tolerance)."""
+    import json
+    from sim2real_lane_segment_tpu.data.modules import TwoDomainMMEDataModule
+    from sim2real_lane_segment_tpu.train import loop
+    from sim2real_lane_segment_tpu.train.loop import fit
+    from sim2real_lane_segment_tpu.train.mme import MMETrainer
+
+    monkeypatch.setattr(loop, "_SCAN_CHUNK", 2)
+    root = make_simreal_tree(tmp_path, rng)
+
+    def run(cache: bool, out: str):
+        dm = TwoDomainMMEDataModule(data_path=root, batch_size=4,
+                                    device_cache=cache)
+        dm.setup()
+        tr = MMETrainer(num_cls=4, height=H, width=W, augment=True,
+                        model=tiny_model())
+        _, iou, _ = fit(tr, tr.init_state(jax.random.key(0)), dm,
+                        max_epochs=2, out_dir=str(tmp_path / out),
+                        log_every=1)
+        return iou
+
+    iou_scan = run(True, "mme_scan")
+    iou_ref = run(False, "mme_per_batch")
+    assert iou_scan == pytest.approx(iou_ref, rel=1e-3, abs=1e-3)
+
+    def losses(out):
+        with open(tmp_path / out / "metrics.jsonl") as f:
+            return [(j["step"], j["train/tr_loss"], j.get("train/tr_loss_adent"))
+                    for j in map(json.loads, f) if "train/tr_loss" in j]
+    got, ref = losses("mme_scan"), losses("mme_per_batch")
+    assert [g[0] for g in got] == [r[0] for r in ref]
+    np.testing.assert_allclose([g[1] for g in got], [r[1] for r in ref],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose([g[2] for g in got], [r[2] for r in ref],
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_fit_resume_continues_from_checkpoint(tmp_path, rng):
     from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
     from sim2real_lane_segment_tpu.train.loop import fit
@@ -400,6 +480,39 @@ def test_fit_retries_transient_backend_error(tmp_path, rng, monkeypatch):
                               train_step_fn=flaky_step)
     assert best_iou >= 0
     assert calls["n"] >= 3  # first attempt died and the epoch was replayed
+
+
+def test_fit_releases_device_cache_on_repeated_oom(tmp_path, rng,
+                                                   monkeypatch):
+    """Two RESOURCE_EXHAUSTED failures in one epoch must free the
+    device-resident dataset caches (HBM relief valve) and the run must
+    finish on host reads (loop._fit_epochs + modules.release_device_cache)."""
+    from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
+    from sim2real_lane_segment_tpu.train import loop
+
+    monkeypatch.setattr(loop, "_RETRY_SLEEP_S", 0.01)
+    root = make_sim_tree(tmp_path, rng)
+    dm = SimulatorDataModule(data_path=root, batch_size=4, device_cache=True)
+    dm.setup()
+    tr = small_trainer()
+    calls = {"n": 0}
+
+    def oom_while_cached(state, batch, key, epoch):
+        calls["n"] += 1
+        if dm.device_cache and calls["n"] >= 2:
+            raise ValueError("RESOURCE_EXHAUSTED: TPU backend error "
+                             "(ResourceExhausted)")
+        images, labels = batch
+        return tr.train_step(state, images, labels, key, tr.lr_at(epoch))
+
+    assert dm.train_scan_inputs(0) is not None  # caches resident
+    _, best_iou, _ = loop.fit(tr, tr.init_state(jax.random.key(0)), dm,
+                              max_epochs=1, out_dir=str(tmp_path / "r"),
+                              train_step_fn=oom_while_cached)
+    assert best_iou >= 0
+    assert not dm.device_cache          # relief valve fired
+    assert dm.train_scan_inputs(0) is None
+    assert dm._views == {}
 
 
 def test_fit_does_not_retry_real_errors(tmp_path, rng):
