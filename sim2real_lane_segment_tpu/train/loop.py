@@ -183,14 +183,17 @@ _SCAN_CHUNK = 32
 
 
 def _run_train_epoch(trainer, state, data, logger, key, global_step,
-                     epoch, train_step_fn, log_every, scan_ok=False):
+                     epoch, train_step_fn, log_every, scan_state=None):
     """One epoch of train steps + the validation pass (the retry unit)."""
-    if scan_ok:
+    if scan_state is not None and scan_state["ok"]:
         scan = getattr(data, "train_scan_inputs", lambda e: None)(epoch)
         if scan is not None:
+            scan_state["used"] = True
             return _run_train_epoch_scanned(
                 trainer, state, scan, data, logger, key, global_step,
                 epoch, log_every)
+    if scan_state is not None:
+        scan_state["used"] = False
     n_steps = 0
     # disk reads/stacking overlap device compute on a reader thread
     for batch in background_batches(lambda e=epoch: data.train_batches(e)):
@@ -243,6 +246,11 @@ def _fit_epochs(trainer, state, data, logger, ckpt_mgr, latest_mgr, key,
     # host snapshot: train_step donates its input state, so device aliases
     # are invalidated — and it doubles as the transient-error retry point
     snap = jax.device_get(state)
+    # the scan path is an optimization with a bigger compiled graph; if
+    # its dispatch fails non-transiently (observed: the remote compile
+    # helper dying on the scanned MME graph), fall back to the per-batch
+    # path for the rest of the run instead of crashing
+    scan_state = {"ok": scan_ok, "used": False}
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         step0 = global_step
@@ -253,9 +261,18 @@ def _fit_epochs(trainer, state, data, logger, ckpt_mgr, latest_mgr, key,
             try:
                 state, global_step, n_steps, val = _run_train_epoch(
                     trainer, state, data, logger, k_epoch, step0,
-                    epoch, train_step_fn, log_every, scan_ok)
+                    epoch, train_step_fn, log_every, scan_state)
                 break
             except Exception as e:
+                if scan_state["used"] and scan_state["ok"] and \
+                        not _is_transient_backend_error(e):
+                    log.warning(
+                        "scanned-epoch dispatch failed (%.160s); replaying "
+                        "epoch %d with the per-batch path",
+                        str(e).splitlines()[0] if str(e) else type(e), epoch)
+                    scan_state["ok"] = False
+                    state, global_step = snap, step0
+                    continue
                 if attempt >= _MAX_EPOCH_RETRIES or \
                         not _is_transient_backend_error(e):
                     raise

@@ -515,6 +515,34 @@ def test_fit_releases_device_cache_on_repeated_oom(tmp_path, rng,
     assert dm._views == {}
 
 
+def test_fit_falls_back_to_per_batch_on_scan_compile_failure(
+        tmp_path, rng, monkeypatch):
+    """A non-transient failure of the scanned dispatch (observed: the
+    remote compile helper dying on the big scanned graph) must replay the
+    epoch on the per-batch path instead of crashing the run."""
+    from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
+    from sim2real_lane_segment_tpu.train import loop
+
+    root = make_sim_tree(tmp_path, rng)
+    dm = SimulatorDataModule(data_path=root, batch_size=4, device_cache=True)
+    dm.setup()
+    tr = small_trainer()
+    attempts = {"scan": 0}
+
+    def broken_scan(state, arrays, idx_chunk, key, epoch):
+        attempts["scan"] += 1
+        raise RuntimeError("INTERNAL: remote_compile: HTTP 500: "
+                           "tpu_compile_helper subprocess exit code 1")
+
+    monkeypatch.setattr(type(tr), "run_scan_chunk",
+                        lambda self, *a: broken_scan(*a))
+    _, best_iou, _ = loop.fit(tr, tr.init_state(jax.random.key(0)), dm,
+                              max_epochs=2, out_dir=str(tmp_path / "r"),
+                              log_every=1)
+    assert best_iou >= 0
+    assert attempts["scan"] == 1  # tried once, then disabled for the run
+
+
 def test_fit_does_not_retry_real_errors(tmp_path, rng):
     from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
     from sim2real_lane_segment_tpu.train.loop import fit
