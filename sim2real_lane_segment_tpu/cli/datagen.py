@@ -40,6 +40,11 @@ def main(args=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-domain-rand", action="store_true")
     p.add_argument("--distortion", action="store_true")
+    p.add_argument("--texture_pack", type=str, default=None,
+                   help="directory of photographic tile textures "
+                        "(reference <kind>_<i>.png / _cv layout); renders "
+                        "through the atlas path instead of procedural "
+                        "shading")
     args = p.parse_args(args)
     common.setup_runtime()
 
@@ -50,7 +55,7 @@ def main(args=None) -> int:
     from ..sim.maps import builtin_map
 
     m = builtin_map(args.map_name)
-    scene = render.build_scene(m, args.seed)
+    scene = render.build_scene(m, args.seed, texture_pack=args.texture_pack)
     lane_arrays = lanes.build_lane_arrays(m)
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
@@ -79,7 +84,8 @@ def main(args=None) -> int:
                 tile_size=m.tile_size, n_steps=args.chunk,
                 height=args.height, width=args.width,
                 domain_rand=not args.no_domain_rand,
-                distortion=args.distortion)
+                distortion=args.distortion,
+                procedural=args.texture_pack is None)
             orig = np.asarray(batch.orig)    # (T, B, H, W, 3) RGB
             annot = np.asarray(batch.annot)
             pos = batch.pos[-1]

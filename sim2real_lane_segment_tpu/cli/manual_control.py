@@ -36,6 +36,9 @@ def main(args=None) -> None:
     p.add_argument("--domain-rand", action="store_true", default=True)
     p.add_argument("--distortion", action="store_true")
     p.add_argument("--frame-rate", type=int, default=30)
+    p.add_argument("--texture_pack", type=str, default=None,
+                   help="photographic tile-texture directory (reference "
+                        "<kind>_<i>.png / _cv layout)")
     args = p.parse_args(args)
     common.setup_runtime()
 
@@ -45,7 +48,8 @@ def main(args=None) -> None:
     from ..sim.env import DuckietownEnv
 
     env = DuckietownEnv(map_name=args.map_name, domain_rand=args.domain_rand,
-                        annotated=args.annotated, distortion=args.distortion)
+                        annotated=args.annotated, distortion=args.distortion,
+                        texture_pack=args.texture_pack)
     os.makedirs(args.output_dir, exist_ok=True)
 
     recording = False

@@ -51,13 +51,18 @@ class Simulator:
                  distortion: bool = False, map_obj: Map | None = None,
                  accept_start_angle_deg: float = 60.0,
                  randomization_config_fp: str | None = None,
-                 default_config_fp: str | None = None):
+                 default_config_fp: str | None = None,
+                 texture_pack: str | None = None):
         from .randomization import Randomizer
         self.randomizer = Randomizer(randomization_config_fp,
                                      default_config_fp)
         self.map = map_obj if map_obj is not None else builtin_map(map_name)
+        # photographic texture packs render through the atlas gather path;
+        # the default procedural path shades tiles in closed form
+        self.texture_pack = texture_pack
+        self.procedural = texture_pack is None
         self.scene, self._mesh_layout = render.build_scene(
-            self.map, seed, with_layout=True)
+            self.map, seed, with_layout=True, texture_pack=texture_pack)
         self.lane_arrays = lanes.build_lane_arrays(self.map)
         self.camera_width = camera_width
         self.camera_height = camera_height
@@ -246,7 +251,8 @@ class Simulator:
             self.scene, jnp.asarray(self.cur_pos), jnp.asarray(self.cur_angle),
             self.dr, jax.random.fold_in(self._noise_base, self.step_count),
             height=self.camera_height, width=self.camera_width,
-            annotated=bool(ann), distortion=self.distortion)
+            annotated=bool(ann), distortion=self.distortion,
+            procedural=self.procedural)
         return np.asarray(frame)
 
     def render_pair(self) -> tuple[np.ndarray, np.ndarray]:
@@ -255,7 +261,7 @@ class Simulator:
         orig, annot = render.render_pair(
             self.scene, jnp.asarray(self.cur_pos), jnp.asarray(self.cur_angle),
             self.dr, key, height=self.camera_height, width=self.camera_width,
-            distortion=self.distortion)
+            distortion=self.distortion, procedural=self.procedural)
         return np.asarray(orig), np.asarray(annot)
 
 

@@ -97,12 +97,20 @@ MESH_KINDS = {"duckiebot": (0.13, 0.12, 0.18), "barrier": (0.5, 0.12, 0.1),
               "sign": (0.12, 0.25, 0.02)}
 
 
-def build_scene(m: Map, seed: int = 0, with_layout: bool = False):
+def build_scene(m: Map, seed: int = 0, with_layout: bool = False,
+                texture_pack: str | None = None):
     """Build the device scene; with_layout additionally returns
     {object index: (first_triangle, n_triangles, mesh, rotate_deg)} so
     dynamic objects (NPC duckiebots) can re-place their mesh triangles
-    each step."""
-    atlas_np, kind_index = build_atlas(seed)
+    each step.  ``texture_pack`` loads photographic tile textures
+    (reference graphics.py:25-65 file layout) into the atlas instead of
+    the procedural ones — consumed by the atlas render path
+    (render_frame(procedural=False))."""
+    if texture_pack is not None:
+        from .textures import build_atlas_from_pack
+        atlas_np, kind_index = build_atlas_from_pack(texture_pack, seed)
+    else:
+        atlas_np, kind_index = build_atlas(seed)
     gh, gw = m.grid_height, m.grid_width
     slot = np.zeros((gh, gw), np.int32)
     rot = np.zeros((gh, gw), np.int32)

@@ -35,7 +35,8 @@ def expert_rollout(scene: SceneArrays, lane_arrays, key: jax.Array,
                    tile_size: float, n_steps: int = 64,
                    height: int = 480, width: int = 640,
                    frame_skip: int = 1, distortion: bool = False,
-                   domain_rand: bool = True) -> RolloutBatch:
+                   domain_rand: bool = True,
+                   procedural: bool = True) -> RolloutBatch:
     """Scan an expert-driven rollout for a batch of agents.
 
     init_pos (B, 2), init_angle (B,) — spawn with ``sample_spawns``.
@@ -50,7 +51,7 @@ def expert_rollout(scene: SceneArrays, lane_arrays, key: jax.Array,
     render_b = jax.vmap(
         lambda pos, angle, dr_p, nk, ann: render.render_frame(
             scene, pos, angle, dr_p, nk, height=height, width=width,
-            annotated=ann, distortion=distortion),
+            annotated=ann, distortion=distortion, procedural=procedural),
         in_axes=(0, 0, 0, 0, None))
 
     def step_fn(carry, step_key):

@@ -192,6 +192,77 @@ def build_atlas(seed: int = 0) -> tuple[np.ndarray, dict[str, int]]:
     return np.stack(slots), index
 
 
+def _pack_file(path: str, kind: str, suffix: str = "") -> str | None:
+    """Find a texture-pack file for a tile kind.
+
+    Follows the reference's naming scheme (graphics.py:25-65):
+    ``<name>_<i>.png`` numbered variants with optional ``_cv``/``_ccv``
+    annotated versions.  Tries the exact kind, then the generic
+    intersection stem (``3way`` for 3way_left/right), then an
+    un-numbered ``<name>.png``.  Returns the lowest-numbered match.
+    """
+    import glob
+    import os
+    import re
+
+    stems = [kind]
+    if kind.startswith("3way"):
+        stems.append("3way")
+    for stem in stems:
+        hits = []
+        for f in glob.glob(os.path.join(path, f"{stem}_*{suffix}.png")):
+            m = re.fullmatch(rf"{re.escape(stem)}_(\d+){re.escape(suffix)}",
+                             os.path.splitext(os.path.basename(f))[0])
+            if m:
+                hits.append((int(m.group(1)), f))
+        if hits:
+            return min(hits)[1]
+        plain = os.path.join(path, f"{stem}{suffix}.png")
+        if os.path.exists(plain):
+            return plain
+    return None
+
+
+def build_atlas_from_pack(path: str, seed: int = 0
+                          ) -> tuple[np.ndarray, dict[str, int]]:
+    """Atlas from a photographic texture pack directory.
+
+    The reference rendered photographic road textures with annotated
+    ``_cv``/``_ccv`` recolored variants (graphics.py:25-65); this loads
+    the same file layout into the renderer's atlas: for each tile kind,
+    base = ``<kind>_<i>.png`` (or un-numbered), annotated = its ``_cv``
+    file.  Kinds without files keep their procedural texture; kinds
+    without a ``_cv`` file use the base as the annotated slot — the
+    reference's own intersection fallback (simulator.py:1521-1524), so
+    those pixels diff to background exactly like upstream.
+    """
+    import cv2
+
+    slots = []
+    index = {}
+    for k, kind in enumerate(TILE_KINDS):
+        index[kind] = 2 * k
+        rng_k = np.random.default_rng(seed * 1000 + k)
+        base_f = _pack_file(path, kind)
+        if base_f is None:
+            slots.append(make_tile_texture(kind, rng_k, annotated=False))
+            rng_k = np.random.default_rng(seed * 1000 + k)
+            slots.append(make_tile_texture(kind, rng_k, annotated=True))
+            continue
+        base = cv2.cvtColor(cv2.imread(base_f), cv2.COLOR_BGR2RGB)
+        base = cv2.resize(base, (RES, RES), interpolation=cv2.INTER_AREA)
+        cv_f = _pack_file(path, kind, "_cv")
+        if cv_f is not None:
+            annot = cv2.cvtColor(cv2.imread(cv_f), cv2.COLOR_BGR2RGB)
+            annot = cv2.resize(annot, (RES, RES),
+                               interpolation=cv2.INTER_NEAREST)
+        else:
+            annot = base
+        slots.append(base)
+        slots.append(annot)
+    return np.stack(slots), index
+
+
 def rotate_tex_index(orientation: str) -> int:
     """Number of 90° uv rotations for a tile orientation letter.
 

@@ -267,3 +267,59 @@ def test_env_max_steps():
         if done:
             break
     assert done and done_msgs[-1] == "max-steps-reached"
+
+
+# ---------------------------------------------------------------------------
+# photographic texture packs (reference graphics.py:25-65 file layout)
+# ---------------------------------------------------------------------------
+
+def _write_pack(d):
+    """A minimal pack: magenta straight_1.png with a cyan _cv variant."""
+    import cv2
+    base = np.full((64, 64, 3), (200, 30, 180), np.uint8)     # RGB magenta
+    annot = np.full((64, 64, 3), (30, 200, 200), np.uint8)    # RGB cyan-ish
+    cv2.imwrite(str(d / "straight_1.png"), base[:, :, ::-1])  # files are BGR
+    cv2.imwrite(str(d / "straight_1_cv.png"), annot[:, :, ::-1])
+    # an un-numbered grass file exercises the plain-name fallback
+    cv2.imwrite(str(d / "grass.png"),
+                np.full((32, 32, 3), (10, 120, 10), np.uint8)[:, :, ::-1])
+
+
+def test_texture_pack_atlas(tmp_path):
+    from sim2real_lane_segment_tpu.sim.textures import (
+        RES, TILE_KINDS, build_atlas, build_atlas_from_pack)
+    _write_pack(tmp_path)
+    atlas, index = build_atlas_from_pack(str(tmp_path), seed=0)
+    proc, _ = build_atlas(seed=0)
+    assert atlas.shape == proc.shape == (len(TILE_KINDS) * 2, RES, RES, 3)
+    s = index["straight"]
+    # photographic slots loaded (uniform magenta base / cyan cv)
+    np.testing.assert_array_equal(atlas[s][0, 0], [200, 30, 180])
+    np.testing.assert_array_equal(atlas[s + 1][0, 0], [30, 200, 200])
+    # un-numbered fallback found; missing kinds keep procedural textures
+    np.testing.assert_array_equal(atlas[index["grass"]][0, 0], [10, 120, 10])
+    np.testing.assert_array_equal(atlas[index["curve_left"]],
+                                  proc[index["curve_left"]])
+    # no _cv file for curve_left -> annotated slot = base (reference
+    # intersection fallback, simulator.py:1521-1524)... procedural kinds
+    # keep their own annotated variant
+    np.testing.assert_array_equal(atlas[index["curve_left"] + 1],
+                                  proc[index["curve_left"] + 1])
+
+
+def test_texture_pack_renders_and_pairs_align(tmp_path):
+    from sim2real_lane_segment_tpu.sim.env import Simulator
+    _write_pack(tmp_path)
+    env = Simulator(map_name="small_loop", seed=3, domain_rand=False,
+                    camera_width=W, camera_height=H,
+                    texture_pack=str(tmp_path))
+    assert not env.procedural
+    env.reset()
+    orig, annot = env.render_pair()
+    diff = orig.astype(int) - annot.astype(int)
+    assert np.abs(diff[:10]).max() == 0        # sky identical
+    assert np.abs(diff).max() > 0              # road recolored by _cv
+    # the photographic base color must actually appear on the road
+    low = orig[H // 2:].reshape(-1, 3)
+    assert (np.abs(low.astype(int) -
+                   np.array([200, 30, 180])).sum(-1) < 150).mean() > 0.05
