@@ -199,6 +199,30 @@ def main(args=None) -> dict:
             log.info("%s: restoring %s", name, p)
             return load_weights(p, trainer.init_state(jax.random.key(0)))
 
+        def regime_cache(name):
+            """device_cache for a regime, persisted across crash-restarts.
+
+            The in-process relief valve (train/loop.py) frees device
+            caches under HBM pressure — but a process that crashes anyway
+            (babysitter restart) would re-upload them and repeat the OOM.
+            Count the entries into each regime in its workdir; from the
+            third attempt on, train that regime without device caches."""
+            if not args.device_cache:
+                return False
+            os.makedirs(f"results/{name}", exist_ok=True)
+            marker = f"results/{name}/cache_attempts.txt"
+            tries = 0
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    tries = int(f.read().strip() or 0)
+            with open(marker, "w") as f:
+                f.write(str(tries + 1))
+            if tries >= 2:
+                log.warning("%s: %d prior attempts crashed; disabling the "
+                            "device cache for this regime", name, tries)
+                return False
+            return True
+
         def target_test_batches():
             tgt = SimulatorDataModule(data_path="targetData",
                                       batch_size=args.batch_size, seed=42)
@@ -212,7 +236,7 @@ def main(args=None) -> dict:
             if b_state is None:
                 data = SimulatorDataModule(data_path="sourceData", batch_size=args.batch_size,
                                            seed=42, load_into_memory=True,
-                                           device_cache=args.device_cache)
+                                           device_cache=regime_cache("baseline"))
                 data.setup()
                 b_state, _, _ = fit(base, base.init_state(jax.random.key(0)),
                                     data, max_epochs=args.epochs,
@@ -239,7 +263,7 @@ def main(args=None) -> dict:
                                    args.n_labelled, hm=(name == "hm"))
                 data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
                                            seed=42, load_into_memory=True,
-                                           device_cache=args.device_cache)
+                                           device_cache=regime_cache(name))
                 data.setup()
                 s, _, _ = fit(tr, tr.init_state(jax.random.key(1)), data,
                               max_epochs=args.epochs, out_dir=f"results/{name}",
@@ -271,7 +295,7 @@ def main(args=None) -> dict:
                     "--modelWeightsPath", "results/cyclegan_gen/g_ab.msgpack"])
                 data = TwoDomainDataModule(data_path=root, batch_size=args.batch_size,
                                            seed=42, load_into_memory=True,
-                                           device_cache=args.device_cache)
+                                           device_cache=regime_cache("cyclegan"))
                 data.setup()
                 s, _, _ = fit(tr, tr.init_state(jax.random.key(2)), data,
                               max_epochs=args.epochs,
@@ -297,7 +321,7 @@ def main(args=None) -> dict:
                                           batch_stats=b_state.batch_stats)
                 data = TwoDomainMMEDataModule(data_path=root, batch_size=args.batch_size,
                                               seed=42, load_into_memory=True,
-                                              device_cache=args.device_cache)
+                                              device_cache=regime_cache("mme"))
                 data.setup()
 
                 # MMETrainer.default_step_fn handles the 4-tuple batches

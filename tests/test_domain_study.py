@@ -69,3 +69,17 @@ def test_force_retrains(workdir):
     summary.write_text(json.dumps(fake))
     r = _run(workdir, ["baseline"], extra=["--force"])
     assert r["baseline"]["iou"] != 99.0
+
+
+def test_device_cache_disabled_after_repeated_crashes(workdir):
+    """regime_cache: the per-regime attempt marker disables the device
+    cache from the third entry on (crash-restart HBM relief that
+    persists across processes, domain_study.regime_cache)."""
+    for i in range(3):
+        _run(workdir, ["baseline"], extra=("--device_cache", "--force"))
+    marker = workdir / "results" / "baseline" / "cache_attempts.txt"
+    assert marker.read_text().strip() == "3"
+    # the third run logged+trained without the cache; the study still
+    # produced a result
+    assert "baseline" in json.loads(
+        (workdir / "study_summary.json").read_text())
