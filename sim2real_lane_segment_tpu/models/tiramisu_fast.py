@@ -263,7 +263,8 @@ def _dense_block_train(segs, stats, params, old_stats, n_layers, rate,
     return cur, cur_stats, new, new_stats, updates, site
 
 
-def fast_apply_train(model, variables, x, key, *, use_softmax: bool = True):
+def fast_apply_train(model, variables, x, key, *, use_softmax: bool = True,
+                     reverse_features: bool = False):
     """Train-mode forward of an ``FCDenseNet`` without concats.
 
     Matches ``model.apply(variables, x, train=True, rngs={'dropout': k},
@@ -272,6 +273,13 @@ def fast_apply_train(model, variables, x, key, *, use_softmax: bool = True):
     and in dropout DISTRIBUTION (channelwise rate, 1/(1-p) scaling) — the
     masks come from this function's own key chain, so they are a
     different random realization than flax's path-derived streams.
+
+    ``reverse_features`` inserts MME's gradient reversal between the
+    feature extractor and the classifier (the flax path applies
+    grad_reverse to the L2-normalized concat, mme.py:_forward_adversarial;
+    grad_reverse is a linear identity, so applying it to every segment
+    before the fused norm+classifier head flips exactly the same
+    cotangents — every loss path from the segments passes through it).
 
     Returns (output, new_batch_stats) where new_batch_stats mirrors the
     flax mutable ['batch_stats'] tree.
@@ -337,5 +345,8 @@ def fast_apply_train(model, variables, x, key, *, use_softmax: bool = True):
         segs, stats = ((all_segs, all_stats) if last
                        else (new_segs, new_stats))
 
+    if reverse_features:
+        from .tiramisu import grad_reverse
+        segs = [grad_reverse(s) for s in segs]
     out = _l2_classifier_head(model, variables, segs, dtype, use_softmax)
     return out, {"featureExtractor": new_fe}

@@ -162,8 +162,15 @@ class MMETrainer(SupervisedTrainer):
 
         # ---- phase G: entropy maximization on unlabelled (optimizer_idx 0)
         def loss_g(params):
-            probs, new_bs = self._forward_adversarial(
-                params, state.batch_stats, x_unl, k_drop_g)
+            if self.fast_train:
+                from ..models.tiramisu_fast import fast_apply_train
+                probs, new_bs = fast_apply_train(
+                    self.model,
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x_unl, k_drop_g, reverse_features=True)
+            else:
+                probs, new_bs = self._forward_adversarial(
+                    params, state.batch_stats, x_unl, k_drop_g)
             return adentropy(probs, self.lamda), new_bs
 
         (loss0, bs1), grads0 = jax.value_and_grad(loss_g, has_aux=True)(state.params)
@@ -175,10 +182,17 @@ class MMETrainer(SupervisedTrainer):
 
         # ---- phase F: weighted CE on labelled (optimizer_idx 1)
         def loss_f(params):
-            out, mut = self.model.apply(
-                {"params": params, "batch_stats": bs1}, x_lab, train=True,
-                rngs={"dropout": k_drop_f}, mutable=["batch_stats"])
-            return weighted_cross_entropy(out, y, self.num_cls), mut["batch_stats"]
+            if self.fast_train:
+                from ..models.tiramisu_fast import fast_apply_train
+                out, new_bs = fast_apply_train(
+                    self.model, {"params": params, "batch_stats": bs1},
+                    x_lab, k_drop_f)
+            else:
+                out, mut = self.model.apply(
+                    {"params": params, "batch_stats": bs1}, x_lab, train=True,
+                    rngs={"dropout": k_drop_f}, mutable=["batch_stats"])
+                new_bs = mut["batch_stats"]
+            return weighted_cross_entropy(out, y, self.num_cls), new_bs
 
         (loss1, bs2), grads1 = jax.value_and_grad(loss_f, has_aux=True)(params1)
         upd1, new_of = self.tx_f.update(grads1, state.opt_state_f, params1)

@@ -173,6 +173,66 @@ def test_fast_train_with_dropout_runs_and_updates_stats():
     assert all(moved)
 
 
+def test_fast_train_reverse_features_grads_match_flax_adversarial():
+    """grad_reverse applied per segment before the fused norm+classifier
+    head must reproduce the flax adversarial path's gradients (MME phase
+    G, mme.py _forward_adversarial) — gr is a linear identity, so it
+    commutes through the (deterministic) normalization."""
+    from sim2real_lane_segment_tpu.models.tiramisu_fast import \
+        fast_apply_train
+    from sim2real_lane_segment_tpu.train.losses import adentropy
+    from sim2real_lane_segment_tpu.train.mme import MMETrainer
+
+    model = _nodropout_model()
+    variables = _init_with_stats(model, jax.random.key(12), (2, 24, 32, 3))
+    x = jax.random.normal(jax.random.key(13), (2, 24, 32, 3))
+    tr = MMETrainer(num_cls=4, height=24, width=32, augment=False,
+                    model=model)
+
+    def loss_flax(params):
+        probs, _ = tr._forward_adversarial(
+            params, variables["batch_stats"], x, jax.random.key(0))
+        return adentropy(probs, 0.1)
+
+    def loss_fast(params):
+        probs, _ = fast_apply_train(
+            model, {"params": params,
+                    "batch_stats": variables["batch_stats"]},
+            x, jax.random.key(0), reverse_features=True)
+        return adentropy(probs, 0.1)
+
+    g_flax = jax.grad(loss_flax)(variables["params"])
+    g_fast = jax.grad(loss_fast)(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                    jax.tree_util.tree_leaves(g_flax)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-3)
+
+
+def test_mme_fast_train_step_matches_standard_nodropout():
+    """MMETrainer(fast_train=True) reproduces the standard MME step's
+    losses on a dropout_rate=0 model."""
+    from sim2real_lane_segment_tpu.train.mme import MMETrainer
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(0, 255, (4, 24, 32, 3), dtype=np.uint8))
+    y = jnp.asarray(rng.integers(0, 4, (4, 24, 32), dtype=np.uint8))
+    img_u = jnp.asarray(rng.integers(0, 255, (4, 24, 32, 3), dtype=np.uint8))
+    key = jax.random.key(9)
+
+    logs = {}
+    for fast in (False, True):
+        tr = MMETrainer(num_cls=4, height=24, width=32, augment=True,
+                        model=_nodropout_model(), fast_train=fast)
+        state = tr.init_state(jax.random.key(0))
+        lrs = tr.lrs_at(0)
+        _, lg = tr.mme_train_step(state, img, y, img_u, key, *lrs)
+        logs[fast] = jax.device_get(lg)
+    for name in logs[False]:
+        np.testing.assert_allclose(logs[True][name], logs[False][name],
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_supervised_fast_train_step_matches_standard_nodropout():
     """SupervisedTrainer(fast_train=True) reproduces the standard step's
     logs on a dropout_rate=0 model (the only stochastic difference is
