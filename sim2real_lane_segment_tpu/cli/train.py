@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="segment-wise FC-DenseNet train forward (no dense "
                         "concats in fwd/bwd; same BN semantics, own dropout "
                         "key chain — models/tiramisu_fast.py)")
+    p.add_argument("--pallas_train", action="store_true",
+                   help="fused-Pallas custom-VJP FC-DenseNet train step "
+                        "(models/tiramisu_train_pallas.py); falls back to "
+                        "the standard apply when the model/resolution "
+                        "doesn't fit the single-tile kernels")
     p.add_argument("--profile", action="store_true",
                    help="Capture a JAX profiler trace (xplane) of the first "
                         "epochs under <out_dir>/profile")
@@ -79,7 +84,8 @@ def main(args=None) -> dict:
     tkw = dict(num_cls=4, lr=args.learningRate, decay=args.decay,
                lr_ratio=args.lrRatio, height=args.height, width=args.width,
                gray=args.gray, augment=args.augment, model=model,
-               fast_train=args.fast_train)
+               fast_train=args.fast_train,
+               pallas_train=args.pallas_train)
 
     # the trainer's default_step_fn handles each regime's batch structure
     # (and enables the scanned-epoch dispatch under --device_cache)

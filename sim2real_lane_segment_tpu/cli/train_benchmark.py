@@ -21,7 +21,7 @@ from . import common
 
 
 def measure(arch: str, batch: int, steps: int, iters: int,
-            fast_train: bool = False) -> dict:
+            fast_train: bool = False, pallas_train: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,7 +31,8 @@ def measure(arch: str, batch: int, steps: int, iters: int,
 
     trainer = SupervisedTrainer(num_cls=4, augment=True,
                                 model=build_model(arch, 4),
-                                fast_train=fast_train)
+                                fast_train=fast_train,
+                                pallas_train=pallas_train)
     state = trainer.init_state(jax.random.key(0))
 
     rng = np.random.default_rng(0)
@@ -60,7 +61,8 @@ def measure(arch: str, batch: int, steps: int, iters: int,
     dt = time.perf_counter() - t0
 
     ips = batch * steps * iters / dt
-    name = f"train_images_per_sec_{arch}" + ("_fast" if fast_train else "")
+    name = f"train_images_per_sec_{arch}" + ("_fast" if fast_train else "") \
+        + ("_pallas" if pallas_train else "")
     return {"metric": name,
             "value": round(ips, 1), "unit": "images/sec/chip",
             "batch": batch,
@@ -208,6 +210,9 @@ def main(args=None) -> None:
     p.add_argument("--fast_train", action="store_true",
                    help="measure the segment-wise FC-DenseNet train forward "
                         "(models/tiramisu_fast.fast_apply_train)")
+    p.add_argument("--pallas_train", action="store_true",
+                   help="measure the fused-Pallas custom-VJP train step "
+                        "(models/tiramisu_train_pallas.pallas_apply_train)")
     args = p.parse_args(args)
     common.setup_runtime()
 
@@ -217,7 +222,8 @@ def main(args=None) -> None:
                                             args.steps, args.iters)))
         else:
             print(json.dumps(measure(arch, args.batch_size, args.steps,
-                                     args.iters, args.fast_train)))
+                                     args.iters, args.fast_train,
+                                     args.pallas_train)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,646 @@
+"""Pallas custom-VJP FC-DenseNet TRAIN step — dense blocks without concat
+(or per-pair bnrelu) materialization, in forward AND backward.
+
+Why: the measured decomposition of the FCDenseNet67 train step (RESULTS.md)
+shows it memory-bound, not MXU-bound (~6% MXU at 244 ms/64-batch).  The
+XLA options both lose to the standard flax apply's 262 img/s:
+
+- standard apply re-materializes BN(concat) per DenseLayer (reference
+  rightLaneNetwork/models/FCDenseNet/layers.py:5-25) — conv operands
+  cannot fuse with their producers, so every layer writes + reads its
+  full (c0 + j*g)-channel input twice more than necessary;
+- the segment-wise XLA form (tiramisu_fast.fast_apply_train) avoids the
+  concats but pays per-segment convs with K=16 contractions — the MXU
+  runs at 16/128 K-efficiency and the VJP doubles the tiny-conv count
+  (measured 101 img/s, 2.6x SLOWER than standard — RESULTS.md).
+
+This module keeps the segment ALGEBRA (a virtual concat held as a list
+of channel-major [B, C_s, Ppad] tensors — see tiramisu_fast.py's header
+for the identities) but executes each consumer layer as ONE Pallas
+kernel with its own custom VJP:
+
+- forward: segments DMA into a contiguous VMEM buffer (full-K GEMMs — the
+  fix for fast_train's K=16 problem), the consumer's folded BN affine +
+  ReLU apply as the K-chunk is fed to the MXU (kn2row: one GEMM
+  Wf[9g, c_j] @ A[c_j, P] + 9 tap shift-adds, the layout proven by
+  tiramisu_pallas.py), conv bias + channelwise dropout fuse into the
+  epilogue.  Inter-layer activations are only ever the g-channel layer
+  outputs — the minimum the train-mode BN semantics allow (each layer's
+  batch stats must be global over (N, H, W) before any consumer runs,
+  so per-layer HBM round-trips are irreducible; what this kernel deletes
+  is the per-(layer, segment) bnrelu materializations, 2/3 of the
+  traffic).
+- backward: ONE rolled-cotangent matrix G9r[t] = roll(g_y * m_t, off_t)
+  serves both gradient GEMMs — dA = Wf^T-contraction @ G9r (input grads)
+  and dW = G9r @ A^T (weight grads, accumulated across the batch grid in
+  the f32 output block).  Activations are recomputed in VMEM from the
+  (already-resident) segments; the only saved residuals are tensors the
+  network keeps anyway.
+- the BatchNorm STATISTICS chain (batch mean/var, gradients through
+  them, running-stat updates) lives entirely in differentiable XLA glue
+  outside the kernels: the kernel's custom VJP returns cotangents for
+  its folded (scale, shift) inputs, and jax autodiff routes them through
+  the fold to gamma/beta and through the per-segment stats back into the
+  producers — no hand-written BN backward anywhere.
+
+Semantics match ``tiramisu_fast.fast_apply_train`` (same BN batch-stat
+normalization, same running-stat updates, same fold-in dropout chain —
+the masks are the SAME realization, drawn with the identical bernoulli
+call), which in turn matches ``model.apply(train=True)`` up to dropout
+realization.  Parity + gradient gates: tests/test_tiramisu_train_pallas.py.
+
+Scope: single-tile kernels — the whole image must fit VMEM per layer
+(true for every training config of the 57/67 family at the reference's
+160x120; ``supports()`` reports feasibility so callers can fall back to
+the standard path).  Multi-tile would need per-tap center-masked dW
+contractions; training inputs never need it.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tiramisu_fast import _bn_update
+
+EPS = 1e-5
+LANE = 128
+_VMEM_BUDGET = 92 * 1024 * 1024  # of the 100 MiB compiler cap (v5e: 128)
+
+
+def _ceil(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pp(h: int, w: int) -> int:
+    """Padded pixel count: rolls wrap circularly, so the buffer needs at
+    least w+1 zero lanes after the image for edge taps to read zeros."""
+    return _ceil(h * w + w + 1, LANE)
+
+
+def _to_cm(x: jax.Array, h: int, w: int) -> jax.Array:
+    """[B, H, W, C] -> channel-major [B, C, _pp(h, w)] (zero-padded)."""
+    b, _, _, c = x.shape
+    y = jnp.transpose(x.reshape(b, h * w, c), (0, 2, 1))
+    return jnp.pad(y, ((0, 0), (0, 0), (0, _pp(h, w) - h * w)))
+
+
+def _from_cm(x: jax.Array, h: int, w: int) -> jax.Array:
+    return jnp.transpose(x[:, :, :h * w], (0, 2, 1)).reshape(
+        x.shape[0], h, w, x.shape[1])
+
+
+class _Cfg(NamedTuple):
+    """Static consumer-layer config (hashable for custom_vjp)."""
+    h: int
+    w: int
+    seg_chans: tuple
+    taps: int      # 9 for a 3x3 DenseLayer conv, 1 for TransitionDown's 1x1
+    g_out: int
+    dtype: str
+    interpret: bool
+
+
+def _masks(cfg: _Cfg, p: int):
+    """Validity / column-edge masks over the padded pixel axis."""
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    row = jax.lax.div(pid, cfg.w)
+    col = pid - row * cfg.w
+    mask_v = (row < cfg.h).astype(jnp.float32)
+    mask_l = mask_v * (col != 0)
+    mask_r = mask_v * (col != cfg.w - 1)
+    return mask_v, mask_l, mask_r
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(cfg: _Cfg, *refs):
+    n_seg = len(cfg.seg_chans)
+    seg_refs = refs[:n_seg]
+    scale_ref, shift_ref, wf_ref, bias_ref, mask_ref = refs[n_seg:n_seg + 5]
+    y_ref = refs[n_seg + 5]
+    f_scr, g_scr = refs[n_seg + 6:n_seg + 8]
+
+    dtype = jnp.dtype(cfg.dtype)
+    p = f_scr.shape[1]
+    w, g = cfg.w, cfg.g_out
+    mask_v, mask_l, mask_r = _masks(cfg, p)
+
+    # contiguous virtual concat (VMEM->VMEM; restores full-K GEMMs)
+    off = 0
+    for i, c in enumerate(cfg.seg_chans):
+        f_scr[off:off + c, :] = seg_refs[i][0]
+        off += c
+    c_j = off
+
+    # kn2row GEMM over K chunks, consumer BN affine + ReLU fused at feed
+    for kc in range(0, c_j, LANE):
+        ck = min(LANE, c_j - kc)
+        blk = f_scr[kc:kc + ck, :].astype(jnp.float32)
+        a = (jnp.maximum(blk * scale_ref[kc:kc + ck, :]
+                         + shift_ref[kc:kc + ck, :], 0.0) * mask_v)
+        part = jnp.dot(wf_ref[:, kc:kc + ck], a.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        if kc == 0:
+            g_scr[:, :] = part
+        else:
+            g_scr[:, :] = g_scr[:, :] + part
+
+    if cfg.taps == 1:
+        acc = g_scr[:, :]
+    else:
+        # y[p] = sum_t G_t[p + off_t] with column-edge masks at p
+        acc = None
+        for ky in range(3):
+            for kx in range(3):
+                tap = ky * 3 + kx
+                gs = g_scr[tap * g:(tap + 1) * g, :]
+                roll = (ky - 1) * w + (kx - 1)
+                if roll != 0:
+                    gs = pltpu.roll(gs, shift=(-roll) % p, axis=1)
+                if kx == 0:
+                    gs = gs * mask_l
+                elif kx == 2:
+                    gs = gs * mask_r
+                acc = gs if acc is None else acc + gs
+
+    y = (acc + bias_ref[:, :]) * mask_ref[0] * mask_v
+    y_ref[0] = y.astype(dtype)
+
+
+def _consumer_fwd(cfg: _Cfg, segs, scale, shift, wf, bias, mask):
+    bsz = segs[0].shape[0]
+    p = segs[0].shape[2]
+    c_j = sum(cfg.seg_chans)
+    dtype = jnp.dtype(cfg.dtype)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg),
+        grid=(bsz,),
+        in_specs=[pl.BlockSpec((1, c, p), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+                  for c in cfg.seg_chans] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # shift
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias
+            pl.BlockSpec((1, cfg.g_out, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # dropout mask
+        ],
+        out_specs=pl.BlockSpec((1, cfg.g_out, p), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, cfg.g_out, p), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c_j, p), dtype),
+            pltpu.VMEM((cfg.taps * cfg.g_out, p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=cfg.interpret,
+    )(*segs, scale, shift, wf, bias, mask)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(cfg: _Cfg, *refs):
+    n_seg = len(cfg.seg_chans)
+    seg_refs = refs[:n_seg]
+    (scale_ref, shift_ref, wf_ref, mask_ref,
+     dy_ref) = refs[n_seg:n_seg + 5]
+    (dseg_ref, dscale_ref, dshift_ref, dwf_ref,
+     dbias_ref) = refs[n_seg + 5:n_seg + 10]
+    f_scr, g9_scr = refs[n_seg + 10:n_seg + 12]
+
+    dtype = jnp.dtype(cfg.dtype)
+    p = f_scr.shape[1]
+    w, g = cfg.w, cfg.g_out
+    mask_v, mask_l, mask_r = _masks(cfg, p)
+    first = pl.program_id(0) == 0
+    not_first = jnp.logical_not(first)
+
+    off = 0
+    for i, c in enumerate(cfg.seg_chans):
+        f_scr[off:off + c, :] = seg_refs[i][0]
+        off += c
+    c_j = off
+
+    # cotangent at the conv output (pre-dropout, pre-bias): masks are
+    # constants of the forward, so they just multiply through
+    g_pre = dy_ref[0].astype(jnp.float32) * mask_ref[0] * mask_v
+
+    db = jnp.sum(g_pre, axis=1, keepdims=True)  # [g_out, 1]
+
+    @pl.when(first)
+    def _():
+        dbias_ref[:, :] = jnp.broadcast_to(db, dbias_ref.shape)
+
+    @pl.when(not_first)
+    def _():
+        dbias_ref[:, :] = dbias_ref[:, :] + jnp.broadcast_to(
+            db, dbias_ref.shape)
+
+    # G9r[t][p] = (g_pre * m_t)[p - off_t]: one matrix feeds BOTH grad
+    # GEMMs — dA (contract taps*g) and dW (contract pixels)
+    if cfg.taps == 1:
+        g9_scr[:, :] = g_pre.astype(dtype)
+    else:
+        for ky in range(3):
+            for kx in range(3):
+                tap = ky * 3 + kx
+                src = g_pre
+                if kx == 0:
+                    src = src * mask_l
+                elif kx == 2:
+                    src = src * mask_r
+                roll = (ky - 1) * w + (kx - 1)
+                if roll != 0:
+                    src = pltpu.roll(src, shift=roll % p, axis=1)
+                g9_scr[tap * g:(tap + 1) * g, :] = src.astype(dtype)
+
+    g9 = g9_scr[:, :]
+    for kc in range(0, c_j, LANE):
+        ck = min(LANE, c_j - kc)
+        xk = f_scr[kc:kc + ck, :].astype(jnp.float32)
+        sck = scale_ref[kc:kc + ck, :]
+        z = xk * sck + shift_ref[kc:kc + ck, :]
+        # jnp.maximum splits the tie subgradient 0.5/0.5 at z == 0; exact
+        # zeros DO occur in train mode (a channel dropped for the whole
+        # batch has mu = 0 and a zero-init BN bias => z == 0 on the whole
+        # plane), so matching the XLA paths' convention is load-bearing
+        relu_m = ((z > 0.0).astype(jnp.float32)
+                  + 0.5 * (z == 0.0).astype(jnp.float32)) * mask_v
+        a = (jnp.maximum(z, 0.0) * mask_v).astype(dtype)
+
+        # dW chunk [taps*g, ck] = G9r @ A^T (contract pixels)
+        dwk = jax.lax.dot_general(g9, a, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _():
+            dwf_ref[:, kc:kc + ck] = dwk
+
+        @pl.when(not_first)
+        def _():
+            dwf_ref[:, kc:kc + ck] = dwf_ref[:, kc:kc + ck] + dwk
+
+        # dA chunk [ck, P] = Wf^T-contraction @ G9r (contract taps*g)
+        dak = jax.lax.dot_general(wf_ref[:, kc:kc + ck], g9,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dz = dak * relu_m
+
+        ds = jnp.sum(dz * xk, axis=1, keepdims=True)
+        dh = jnp.sum(dz, axis=1, keepdims=True)
+
+        @pl.when(first)
+        def _():
+            dscale_ref[kc:kc + ck, :] = jnp.broadcast_to(ds, (ck, LANE))
+            dshift_ref[kc:kc + ck, :] = jnp.broadcast_to(dh, (ck, LANE))
+
+        @pl.when(not_first)
+        def _():
+            dscale_ref[kc:kc + ck, :] = (dscale_ref[kc:kc + ck, :]
+                                         + jnp.broadcast_to(ds, (ck, LANE)))
+            dshift_ref[kc:kc + ck, :] = (dshift_ref[kc:kc + ck, :]
+                                         + jnp.broadcast_to(dh, (ck, LANE)))
+
+        dseg_ref[0, kc:kc + ck, :] = (dz * sck).astype(dtype)
+
+
+def _consumer_bwd_call(cfg: _Cfg, segs, scale, shift, wf, mask, dy):
+    bsz = segs[0].shape[0]
+    p = segs[0].shape[2]
+    c_j = sum(cfg.seg_chans)
+    dtype = jnp.dtype(cfg.dtype)
+    m = cfg.taps * cfg.g_out
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg),
+        grid=(bsz,),
+        in_specs=[pl.BlockSpec((1, c, p), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+                  for c in cfg.seg_chans] + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # shift
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wf
+            pl.BlockSpec((1, cfg.g_out, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # mask
+            pl.BlockSpec((1, cfg.g_out, p), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # dy
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c_j, p), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # dseg (full concat)
+            pl.BlockSpec((c_j, LANE), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),       # dscale (col 0)
+            pl.BlockSpec((c_j, LANE), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),       # dshift (col 0)
+            pl.BlockSpec((m, c_j), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),       # dwf
+            pl.BlockSpec((cfg.g_out, LANE), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),       # dbias (col 0)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, c_j, p), dtype),
+            jax.ShapeDtypeStruct((c_j, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((c_j, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((m, c_j), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.g_out, LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c_j, p), dtype),
+            pltpu.VMEM((m, p), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=cfg.interpret,
+    )(*segs, scale, shift, wf, mask, dy)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp consumer primitive
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _consumer(cfg: _Cfg, segs, scale, shift, wf, bias, mask):
+    """One consumer layer over the virtual concat: per-channel affine
+    (the folded BN slice) -> ReLU -> conv (3x3 kn2row or 1x1) -> +bias ->
+    channelwise dropout mask.  Returns the channel-major layer output."""
+    return _consumer_fwd(cfg, segs, scale, shift, wf, bias, mask)
+
+
+def _consumer_fwd_rule(cfg, segs, scale, shift, wf, bias, mask):
+    y = _consumer_fwd(cfg, segs, scale, shift, wf, bias, mask)
+    return y, (segs, scale, shift, wf, mask)
+
+
+def _consumer_bwd_rule(cfg, res, dy):
+    segs, scale, shift, wf, mask = res
+    dfull, dscale, dshift, dwf, dbias = _consumer_bwd_call(
+        cfg, segs, scale, shift, wf, mask, dy)
+    dsegs, lo = [], 0
+    for c in cfg.seg_chans:
+        dsegs.append(dfull[:, lo:lo + c, :])
+        lo += c
+    return (tuple(dsegs), dscale[:, 0:1], dshift[:, 0:1],
+            dwf.astype(wf.dtype), dbias[:, 0:1], jnp.zeros_like(mask))
+
+
+_consumer.defvjp(_consumer_fwd_rule, _consumer_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: stats, folds, dropout masks, pooling, transition-up, head
+# ---------------------------------------------------------------------------
+
+def _seg_stats_cm(seg, h, w):
+    """Batch (mean, var) per channel over (N, valid pixels) — identical
+    math to tiramisu_fast._seg_stats (padding lanes are zero by
+    construction, so sums over the padded axis are exact)."""
+    x = seg.astype(jnp.float32)
+    denom = seg.shape[0] * h * w
+    mu = jnp.sum(x, axis=(0, 2)) / denom
+    var = jnp.maximum(jnp.sum(x * x, axis=(0, 2)) / denom - mu * mu, 0.0)
+    return mu, var
+
+
+def _fold_affine(bn_p, stats):
+    """Consumer BN over the virtual concat folded to per-channel affine
+    columns; differentiable — jax routes the cotangents through here to
+    gamma/beta and (via the per-segment stats) back into the producers."""
+    mu = jnp.concatenate([s[0] for s in stats])
+    var = jnp.concatenate([s[1] for s in stats])
+    scale = (bn_p["scale"] * jax.lax.rsqrt(var + EPS)).astype(jnp.float32)
+    shift = bn_p["bias"] - mu * scale
+    return scale[:, None], shift[:, None].astype(jnp.float32)
+
+
+def _drop_mask(key, site, rate, bsz, c):
+    """Channelwise dropout mask [B, C, 1] — the SAME bernoulli draw as
+    tiramisu_fast._dropout2d's (identical key fold-in, identical shape
+    order), so outputs match that path's realization exactly."""
+    if rate == 0.0:
+        return jnp.ones((bsz, c, 1), jnp.float32)
+    keep = jax.random.bernoulli(jax.random.fold_in(key, site), 1.0 - rate,
+                                (bsz, 1, 1, c))
+    return keep[:, 0, 0, :].astype(jnp.float32)[..., None] / (1.0 - rate)
+
+
+def _wf3(kernel, dtype):
+    """[3, 3, C, G] -> kn2row [9G, C] (tap-major rows)."""
+    k = jnp.transpose(kernel, (0, 1, 3, 2))
+    return k.reshape(9 * kernel.shape[-1], kernel.shape[-2]).astype(dtype)
+
+
+def _pool2_cm(x, h, w):
+    """2x2 maxpool (floor) channel-major; literal -inf init so the
+    reverse-mode reduce_window rule fires (see tiramisu_fast)."""
+    b = x.shape[0]
+    y = x[:, :, :h * w].reshape(b, -1, h, w)
+    y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
+                              (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+    ho, wo = h // 2, w // 2
+    y = y.reshape(b, -1, ho * wo)
+    return jnp.pad(y, ((0, 0), (0, 0), (0, _pp(ho, wo) - ho * wo)))
+
+
+def _transition_up_cm(segs, offs, h, w, sh, sw, p, dtype):
+    """Segment-sum stride-2 VALID 3x3 transposed conv -> center-crop."""
+    b = segs[0].shape[0]
+    out = None
+    for seg, (lo, hi) in zip(segs, offs):
+        x4 = seg[:, :, :h * w].reshape(b, -1, h, w)
+        y = jax.lax.conv_transpose(
+            x4.astype(dtype), p["kernel"][:, :, lo:hi, :].astype(dtype),
+            (2, 2), "VALID", dimension_numbers=("NCHW", "HWIO", "NCHW"))
+        out = y if out is None else out + y
+    out = out + p["bias"].astype(dtype)[:, None, None]
+    y0 = (out.shape[2] - sh) // 2
+    x0 = (out.shape[3] - sw) // 2
+    out = out[:, :, y0:y0 + sh, x0:x0 + sw].reshape(b, -1, sh * sw)
+    return jnp.pad(out, ((0, 0), (0, 0), (0, _pp(sh, sw) - sh * sw)))
+
+
+def _offsets(segs):
+    offs, lo = [], 0
+    for s in segs:
+        offs.append((lo, lo + s.shape[1]))
+        lo += s.shape[1]
+    return offs
+
+
+def _head_cm(model, variables, segs, h, w, dtype, use_softmax):
+    """Per-segment L2 norm + 1x1 classifier + T-softmax, channel-major
+    (tiramisu_fast._l2_classifier_head)."""
+    norm2 = None
+    for seg in segs:
+        sq = jnp.sum(seg.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        norm2 = sq if norm2 is None else norm2 + sq
+    # clamp BEFORE the sqrt: forward-identical to max(sqrt(n2), 1e-12),
+    # but the sqrt gradient at the zero-PADDED pixels (which only this
+    # channel-major layout has) is 0 instead of inf — inf * (zero
+    # cotangent from the unpad slice) would be NaN
+    norm = jnp.sqrt(jnp.maximum(norm2, 1e-24))
+
+    cl_p = variables["params"]["classifier"]["finalConv"]
+    logits = None
+    for seg, (lo, hi) in zip(segs, _offsets(segs)):
+        wk = cl_p["kernel"][0, 0][lo:hi, :].astype(dtype)  # [C_s, n_cls]
+        y = jnp.einsum("bcp,cn->bnp", seg.astype(dtype), wk)
+        logits = y if logits is None else logits + y
+    logits = logits.astype(jnp.float32) / norm + cl_p["bias"][:, None]
+    logits = logits / 0.05  # classifier temperature (T=0.05)
+    out = _from_cm(logits, h, w)
+    if use_softmax:
+        out = jax.nn.softmax(out, axis=-1)
+    return out
+
+
+def _block_tp(segs, stats, params, old_stats, n_layers, rate, key, site,
+              h, w, dtype, interpret, growth):
+    """Train-mode DenseBlock: one _consumer call per layer; stats + BN
+    running updates mirror tiramisu_fast._dense_block_train exactly."""
+    bsz = segs[0].shape[0]
+    cur, cur_stats = list(segs), list(stats)
+    new, new_stats, updates = [], [], {}
+    for j in range(n_layers):
+        lp = params[f"DenseLayer_{j}"]
+        scale, shift = _fold_affine(lp["BatchNorm_0"], cur_stats)
+        cfg = _Cfg(h, w, tuple(s.shape[1] for s in cur), 9, growth,
+                   jnp.dtype(dtype).name, interpret)
+        y = _consumer(cfg, tuple(cur), scale, shift,
+                      _wf3(lp["Conv_0"]["kernel"], dtype),
+                      lp["Conv_0"]["bias"].astype(jnp.float32)[:, None],
+                      _drop_mask(key, site, rate, bsz, growth))
+        site += 1
+        st = _seg_stats_cm(y, h, w)
+        updates[f"DenseLayer_{j}"] = {"BatchNorm_0": _bn_update(
+            old_stats[f"DenseLayer_{j}"]["BatchNorm_0"], cur_stats)}
+        cur.append(y)
+        cur_stats.append(st)
+        new.append(y)
+        new_stats.append(st)
+    return cur, cur_stats, new, new_stats, updates, site
+
+
+def supports(model, height: int, width: int) -> bool:
+    """Whether the single-tile kernels fit VMEM for this model/resolution
+    (the trainers fall back to the standard apply when they don't)."""
+    from .tiramisu import FCDenseNet
+    if not isinstance(model, FCDenseNet):
+        return False
+    itemsize = jnp.dtype(model.policy.compute_dtype).itemsize
+    g = model.growth_rate
+    h, w = height, width
+    cur = model.out_chans_first_conv
+    skips = []
+    worst = 0
+    for n in model.down_blocks:
+        c_j = cur + (n - 1) * g
+        worst = max(worst, _pp(h, w) * (c_j + max(c_j, 9 * g)) * itemsize
+                    + _pp(h, w) * (9 * g) * 4)
+        cur += g * n
+        skips.insert(0, (cur, h, w))
+        worst = max(worst, _pp(h, w) * cur * (2 * itemsize + 4))  # TD
+        h, w = h // 2, w // 2
+    prev = g * model.bottleneck_layers
+    for i, n in enumerate(model.up_blocks):
+        c_in, h, w = skips[i]
+        c_j = prev + c_in + (n - 1) * g
+        # bwd is the fatter kernel: segs + dseg + scratch + f32 chunk
+        worst = max(worst, _pp(h, w) * (c_j * (4 * itemsize)
+                                        + 9 * g * (4 + itemsize)
+                                        + LANE * 8))
+        prev = g * n
+    return worst <= _VMEM_BUDGET
+
+
+def pallas_apply_train(model, variables, x, key, *, use_softmax: bool = True,
+                       reverse_features: bool = False,
+                       interpret: bool | None = None):
+    """Train-mode forward of an ``FCDenseNet`` with fused consumer-layer
+    kernels.  Drop-in for ``tiramisu_fast.fast_apply_train`` (same
+    signature, same outputs INCLUDING the dropout realization, same
+    (output, new_batch_stats) return); differentiable via the per-layer
+    custom VJPs.  ``reverse_features`` inserts MME's gradient reversal
+    before the head (grad_reverse distributes over segments — see
+    fast_apply_train's docstring)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = model.policy.compute_dtype
+    rate = model.dropout_rate
+    fe_p = variables["params"]["featureExtractor"]
+    fe_s = variables["batch_stats"]["featureExtractor"]
+    g = model.growth_rate
+    bsz, h, w, _ = x.shape
+    new_fe = {}
+    site = 0
+
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), fe_p["firstconv"]["kernel"].astype(dtype), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + fe_p["firstconv"]["bias"].astype(dtype)
+    y = _to_cm(y, h, w)
+    segs, stats = [y], [_seg_stats_cm(y, h, w)]
+
+    skips, skip_stats, dims = [], [], [(h, w)]
+    for i, n in enumerate(model.down_blocks):
+        hh, ww = dims[-1]
+        segs, stats, _, _, upd, site = _block_tp(
+            segs, stats, fe_p[f"denseDown{i}"], fe_s[f"denseDown{i}"],
+            n, rate, key, site, hh, ww, dtype, interpret, g)
+        new_fe[f"denseDown{i}"] = upd
+        skips.append(segs)
+        skip_stats.append(stats)
+
+        tp = fe_p[f"transDown{i}"]
+        c_tot = sum(s.shape[1] for s in segs)
+        scale, shift = _fold_affine(tp["BatchNorm_0"], stats)
+        cfg = _Cfg(hh, ww, tuple(s.shape[1] for s in segs), 1, c_tot,
+                   jnp.dtype(dtype).name, interpret)
+        td = _consumer(cfg, tuple(segs), scale, shift,
+                       tp["Conv_0"]["kernel"][0, 0].T.astype(dtype),
+                       tp["Conv_0"]["bias"].astype(jnp.float32)[:, None],
+                       _drop_mask(key, site, rate, bsz, c_tot))
+        site += 1
+        new_fe[f"transDown{i}"] = {"BatchNorm_0": _bn_update(
+            fe_s[f"transDown{i}"]["BatchNorm_0"], stats)}
+        td = _pool2_cm(td, hh, ww)
+        dims.append((hh // 2, ww // 2))
+        segs = [td]
+        stats = [_seg_stats_cm(td, dims[-1][0], dims[-1][1])]
+
+    hh, ww = dims[-1]
+    _, _, segs, stats, upd, site = _block_tp(
+        segs, stats, fe_p["bottleneck"], fe_s["bottleneck"],
+        model.bottleneck_layers, rate, key, site, hh, ww, dtype,
+        interpret, g)
+    new_fe["bottleneck"] = upd
+
+    for i, n in enumerate(model.up_blocks):
+        skip, skst = skips.pop(), skip_stats.pop()
+        sh, sw = dims[-2 - i]
+        up = _transition_up_cm(segs, _offsets(segs), hh, ww, sh, sw,
+                               fe_p[f"transUp{i}"]["ConvTranspose_0"], dtype)
+        hh, ww = sh, sw
+        segs = [up] + list(skip)
+        stats = [_seg_stats_cm(up, hh, ww)] + list(skst)
+        last = i == len(model.up_blocks) - 1
+        all_segs, all_stats, new_segs, new_stats, upd, site = _block_tp(
+            segs, stats, fe_p[f"denseUp{i}"], fe_s[f"denseUp{i}"],
+            n, rate, key, site, hh, ww, dtype, interpret, g)
+        new_fe[f"denseUp{i}"] = upd
+        segs, stats = ((all_segs, all_stats) if last
+                       else (new_segs, new_stats))
+
+    if reverse_features:
+        from .tiramisu import grad_reverse
+        segs = [grad_reverse(s) for s in segs]
+    out = _head_cm(model, variables, segs, h, w, dtype, use_softmax)
+    return out, {"featureExtractor": new_fe}

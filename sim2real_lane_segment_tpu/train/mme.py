@@ -162,7 +162,13 @@ class MMETrainer(SupervisedTrainer):
 
         # ---- phase G: entropy maximization on unlabelled (optimizer_idx 0)
         def loss_g(params):
-            if self.fast_train:
+            if self.pallas_train:
+                from ..models.tiramisu_train_pallas import pallas_apply_train
+                probs, new_bs = pallas_apply_train(
+                    self.model,
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x_unl, k_drop_g, reverse_features=True)
+            elif self.fast_train:
                 from ..models.tiramisu_fast import fast_apply_train
                 probs, new_bs = fast_apply_train(
                     self.model,
@@ -182,7 +188,12 @@ class MMETrainer(SupervisedTrainer):
 
         # ---- phase F: weighted CE on labelled (optimizer_idx 1)
         def loss_f(params):
-            if self.fast_train:
+            if self.pallas_train:
+                from ..models.tiramisu_train_pallas import pallas_apply_train
+                out, new_bs = pallas_apply_train(
+                    self.model, {"params": params, "batch_stats": bs1},
+                    x_lab, k_drop_f)
+            elif self.fast_train:
                 from ..models.tiramisu_fast import fast_apply_train
                 out, new_bs = fast_apply_train(
                     self.model, {"params": params, "batch_stats": bs1},

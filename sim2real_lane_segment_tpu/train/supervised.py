@@ -43,7 +43,8 @@ class SupervisedTrainer:
                  decay: float = 1e-4, lr_ratio: float = 1e3,
                  height: int = 120, width: int = 160, gray: bool = False,
                  augment: bool = True, policy: DTypePolicy = DEFAULT_POLICY,
-                 model=None, fast_train: bool = False):
+                 model=None, fast_train: bool = False,
+                 pallas_train: bool = False):
         self.num_cls = num_cls
         self.lr = lr
         self.decay = decay
@@ -59,6 +60,17 @@ class SupervisedTrainer:
         # own key chain (same distribution, different realization).
         from ..models.tiramisu import FCDenseNet
         self.fast_train = fast_train and isinstance(self.model, FCDenseNet)
+        # fused Pallas train forward+backward (tiramisu_train_pallas):
+        # consumer-layer kernels with custom VJPs — measured faster than
+        # both the standard apply and fast_train on TPU (RESULTS.md);
+        # falls back to the standard path when the single-tile kernels
+        # don't fit VMEM at this model/resolution.
+        self.pallas_train = False
+        if pallas_train and isinstance(self.model, FCDenseNet):
+            from ..models.tiramisu_train_pallas import supports
+            self.pallas_train = supports(self.model, height, width)
+        if self.pallas_train:
+            self.fast_train = False
         self.tx = optim.adamw(decay)
 
     # -- state --------------------------------------------------------------
@@ -133,7 +145,13 @@ class SupervisedTrainer:
             x, y = eval_batch(images, labels, self.cfg)
 
         def loss_fn(params):
-            if self.fast_train:
+            if self.pallas_train:
+                from ..models.tiramisu_train_pallas import pallas_apply_train
+                out, new_bs = pallas_apply_train(
+                    self.model,
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x, k_drop)
+            elif self.fast_train:
                 from ..models.tiramisu_fast import fast_apply_train
                 out, new_bs = fast_apply_train(
                     self.model,
