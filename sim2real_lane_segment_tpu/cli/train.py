@@ -54,6 +54,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="Capture a JAX profiler trace (xplane) of the first "
                         "epochs under <out_dir>/profile")
+    p.add_argument("--dp", default="off",
+                   help="data parallelism: 'off' (default), 'auto' (largest "
+                        "device count dividing batch_size), or an explicit "
+                        "device count.  Builds a jax.sharding.Mesh, shards "
+                        "each global batch over the 'data' axis with "
+                        "parameters replicated; XLA inserts the gradient "
+                        "all-reduce over ICI.  Single-process semantics are "
+                        "IDENTICAL to --dp off on the same --batch_size "
+                        "(fixes the reference's documented-broken "
+                        "distributed training, README.md:275-277).  Under "
+                        "jax.distributed (multi-host) --batch_size is "
+                        "per-process and each process reads its sampler "
+                        "shard.")
     common.add_data_args(p)
     common.add_model_args(p)
     return p
@@ -76,9 +89,25 @@ def main(args=None) -> dict:
     seed = 42 if args.reproducible else args.seed
     out_dir = os.path.join(args.default_root_dir or "results", args.model_name)
 
+    # data parallelism: mesh + batch sharding around the unchanged fit loop
+    mesh = None
+    if args.dp not in (None, "off"):
+        from ..parallel.dp import resolve_dp
+        from ..parallel.sharding import make_train_mesh
+        n_dp = resolve_dp(args.dp, args.batch_size)
+        if n_dp > 1 or jax.process_count() > 1:
+            mesh = make_train_mesh(None if jax.process_count() > 1 else n_dp)
+            logging.info("data parallelism: %d-device mesh (%d processes)",
+                         mesh.devices.size, jax.process_count())
+
     kw = dict(data_path=args.dataPath, batch_size=args.batch_size,
               seed=seed, load_into_memory=args.load2memory,
               device_cache=args.device_cache)
+    if jax.process_count() > 1:
+        # multi-host: each process reads its deterministic sampler shard
+        # (data/samplers.shard); --batch_size is per-process
+        kw.update(shard_id=jax.process_index(),
+                  num_shards=jax.process_count())
     from .test import build_model
     model = build_model(args.arch, 4)
     tkw = dict(num_cls=4, lr=args.learningRate, decay=args.decay,
@@ -103,6 +132,20 @@ def main(args=None) -> dict:
         trainer = MMETrainer(**tkw)
     else:  # pragma: no cover
         raise RuntimeError(f"Not recognizable training type: {args.trainType}")
+
+    if mesh is not None:
+        from ..parallel.dp import DataParallelTrainer
+        trainer = DataParallelTrainer(trainer, mesh)
+        if jax.process_count() == 1:
+            # row-shard the device-resident split caches over the mesh so
+            # the scanned-epoch dispatch stays data-parallel; multi-host
+            # runs keep the cache off (each process would need only its
+            # rows — host reads are sharded already)
+            data.cache_sharding = trainer.batch_sharding
+        elif args.device_cache:
+            logging.warning("--device_cache is single-process only; "
+                            "disabled under jax.distributed")
+            data.device_cache = False
 
     data.setup()
     state = trainer.init_state(jax.random.key(seed))

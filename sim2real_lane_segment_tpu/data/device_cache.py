@@ -33,7 +33,17 @@ log = logging.getLogger(__name__)
 _CHUNK_BYTES = 256 * 1024 * 1024
 
 
-def _chunked_put(arr: np.ndarray):
+def _row_divisor(sharding) -> int:
+    """Number of shards a NamedSharding lays over the leading dim."""
+    import numpy as _np
+    spec = getattr(sharding, "spec", None)
+    if not spec or spec[0] is None:
+        return 1
+    axes = (spec[0],) if isinstance(spec[0], str) else tuple(spec[0])
+    return int(_np.prod([sharding.mesh.shape[a] for a in axes]))
+
+
+def _chunked_put(arr: np.ndarray, sharding=None):
     """device_put in ~256 MB row chunks, concatenated on device.
 
     A single multi-GB device_put through this host's device link both
@@ -42,9 +52,26 @@ def _chunked_put(arr: np.ndarray):
     further allocation (ResourceExhausted on a 16-byte PRNG split right
     after a 1.6 GB one-shot upload).  Chunking costs one transient 2x
     copy during the concat and avoids both problems.
+
+    With ``sharding`` (data-parallel training, parallel/dp.py) the rows
+    are laid over the mesh's data axis — each device holds N/n_data rows
+    and the per-device transfer is already a fraction of the whole, so
+    the array goes up in one sharded put.  Rows are zero-padded up to
+    the shard multiple; padding rows sit past every valid index, so
+    gathers never touch them.
     """
     import jax
     import jax.numpy as jnp
+
+    if sharding is not None:
+        div = _row_divisor(sharding)
+        if len(arr) % div:
+            pad = div - len(arr) % div
+            arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:],
+                                                arr.dtype)])
+        out = jax.device_put(arr, sharding)
+        out.block_until_ready()
+        return out
 
     rows = max(1, _CHUNK_BYTES // max(1, arr[0:1].nbytes))
     if len(arr) <= rows:
@@ -67,16 +94,17 @@ class DeviceCachedView:
     """
 
     def __init__(self, datasets: Sequence, size: tuple[int, int] | None,
-                 images: np.ndarray, labels: np.ndarray | None):
+                 images: np.ndarray, labels: np.ndarray | None,
+                 sharding=None):
         import jax
 
         self._datasets = list(datasets)
         self._size = size
         self.images = self.labels = None
         try:
-            self.images = _chunked_put(images)
+            self.images = _chunked_put(images, sharding)
             if labels is not None:
-                self.labels = _chunked_put(labels)
+                self.labels = _chunked_put(labels, sharding)
             log.info("device cache: %d frames, %.0f MB", len(images),
                      (images.nbytes
                       + (labels.nbytes if labels is not None else 0)) / 1e6)
@@ -87,12 +115,14 @@ class DeviceCachedView:
         self._have_labels = labels is not None
 
     @classmethod
-    def from_datasets(cls, datasets: Sequence, size: tuple[int, int] | None
-                      ) -> "DeviceCachedView":
+    def from_datasets(cls, datasets: Sequence, size: tuple[int, int] | None,
+                      sharding=None) -> "DeviceCachedView":
         """Concatenate one or more RightLaneDatasets (host-read once at the
         canonical ``size``) into a single device tensor.  Multi-dataset
         concat serves the two-domain modules, whose samplers index
-        concat(source, target) (samplers.two_domain_epoch)."""
+        concat(source, target) (samplers.two_domain_epoch).  ``sharding``
+        (data-parallel training) lays the rows over the mesh instead of
+        one device."""
         xs, ys = [], []
         have_labels = all(ds.have_labels for ds in datasets)
         for ds in datasets:
@@ -103,7 +133,7 @@ class DeviceCachedView:
         return cls(datasets, size,
                    np.concatenate(xs) if len(xs) > 1 else xs[0],
                    (np.concatenate(ys) if len(ys) > 1 else ys[0])
-                   if have_labels else None)
+                   if have_labels else None, sharding)
 
     def _host_read(self, indices) -> tuple:
         """Concat-indexed host fallback (same index space as the device

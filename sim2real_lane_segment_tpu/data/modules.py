@@ -42,6 +42,9 @@ class BaseDataModule:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.device_cache = device_cache
+        # set by the DP wiring (cli/train.py): a NamedSharding laying
+        # cached split rows over the mesh's data axis (device_cache.py)
+        self.cache_sharding = None
         self._views: dict[tuple, object] = {}
         self.datasets: dict[str, RightLaneDataset] = {}
         # canonical (h, w) all host reads are normalized to; set at setup()
@@ -91,7 +94,7 @@ class BaseDataModule:
         key = tuple(id(d) for d in datasets)
         if key not in self._views:
             self._views[key] = DeviceCachedView.from_datasets(
-                datasets, self.native_size)
+                datasets, self.native_size, self.cache_sharding)
         return self._views[key]
 
     def release_device_cache(self) -> bool:

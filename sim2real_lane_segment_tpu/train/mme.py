@@ -127,9 +127,9 @@ class MMETrainer(SupervisedTrainer):
             st, k = carry
             k, k_step = jax.random.split(k)
             st, logs = self._mme_train_step_impl(
-                st, jnp.take(lab_images, idx_b[0], axis=0),
-                jnp.take(lab_labels, idx_b[0], axis=0),
-                jnp.take(unl_images, idx_b[1], axis=0),
+                st, self._constrain_batch(jnp.take(lab_images, idx_b[0], axis=0)),
+                self._constrain_batch(jnp.take(lab_labels, idx_b[0], axis=0)),
+                self._constrain_batch(jnp.take(unl_images, idx_b[1], axis=0)),
                 k_step, lr_g_fe, lr_g_cls, lr_f)
             return (st, k), logs
 

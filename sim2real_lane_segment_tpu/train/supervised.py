@@ -72,6 +72,17 @@ class SupervisedTrainer:
         if self.pallas_train:
             self.fast_train = False
         self.tx = optim.adamw(decay)
+        # Set by parallel.dp.DataParallelTrainer (before the first compile
+        # — jit keys on this instance's identity): a NamedSharding the
+        # scanned dispatch constrains each gathered batch to, so compute
+        # is data-parallel even when batches come from the on-device
+        # split cache instead of the host.
+        self.batch_constraint = None
+
+    def _constrain_batch(self, x):
+        if self.batch_constraint is None or x is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self.batch_constraint)
 
     # -- state --------------------------------------------------------------
 
@@ -128,8 +139,8 @@ class SupervisedTrainer:
         def body(carry, idx_b):
             st, k = carry
             k, k_step = jax.random.split(k)
-            x = jnp.take(images, idx_b, axis=0)
-            y = jnp.take(labels, idx_b, axis=0)
+            x = self._constrain_batch(jnp.take(images, idx_b, axis=0))
+            y = self._constrain_batch(jnp.take(labels, idx_b, axis=0))
             st, logs = self._train_step_impl(st, x, y, k_step, lr)
             return (st, k), logs
 

@@ -19,6 +19,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: XLA:CPU compiles of the jitted train/eval
+# programs dominate suite wall time (measured 76 s -> 7 s for one tiny
+# train step on this box).  Keyed by HLO hash, so correctness-neutral;
+# first run is cold, every later run is fast.
+_cache_dir = os.environ.get("JAX_TEST_CACHE_DIR",
+                            os.path.expanduser("~/.cache/jax_s2r_tests"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import sys
 
 import numpy as np
