@@ -37,5 +37,6 @@ def setup_logging(level=logging.INFO) -> None:
 
 def setup_runtime() -> None:
     from ..core.runtime import init_distributed, setup_cache
-    setup_cache()
+    # distributed first: the cache dir is per-rank under jax.distributed
     init_distributed()
+    setup_cache()

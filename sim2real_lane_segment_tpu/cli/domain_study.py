@@ -142,6 +142,13 @@ def main(args=None) -> dict:
                         "(data/device_cache.py)")
     p.add_argument("--cg_epochs", type=int, default=30,
                    help="CycleGAN training epochs for the cyclegan regime")
+    p.add_argument("--distill", action="store_true",
+                   help="after the regimes, distill a LaneNetLite student "
+                        "from each regime's best teacher on that regime's "
+                        "training tree and evaluate it on the same target "
+                        "test split — the bridge that lets the 65k-fps "
+                        "serving student carry each adapted teacher's "
+                        "accuracy (rows student_<regime> in the summary)")
     p.add_argument("--force", action="store_true",
                    help="retrain regimes even if a finished result exists "
                         "in the workdir (default: resume — skip regimes "
@@ -336,13 +343,70 @@ def main(args=None) -> dict:
         elif "mme" in args.regimes:
             log.info("mme: cached in study_summary.json")
 
+        if args.distill:
+            _distill_students(args, results, kw, regime_cache, save_summary,
+                              target_test_batches)
+
         save_summary()
         print("STUDY SUMMARY (target-domain test):")
         for k, v in results.items():
-            print(f"  {k:10s} acc {v['acc']:.2f}  iou {v['iou']:.2f}")
+            print(f"  {k:16s} acc {v['acc']:.2f}  iou {v['iou']:.2f}")
         return results
     finally:
         os.chdir(cwd)
+
+
+def _distill_students(args, results, kw, regime_cache, save_summary,
+                      target_test_batches) -> None:
+    """Distill a LaneNetLite student from each adapted teacher and score
+    it on the SAME target test split — per-regime evidence that the
+    serving student carries the teacher's adapted accuracy (the bridge
+    behind bench.py's student-fps headline)."""
+    import jax
+
+    from ..data.modules import SimulatorDataModule, TwoDomainDataModule
+    from ..train.checkpoint import load_weights
+    from ..train.distill import DistillTrainer
+    from ..train.loop import fit, run_eval
+    from ..train.supervised import SupervisedTrainer
+
+    # each student trains on the tree its teacher saw (HM/CycleGAN trees
+    # were restyled in place during the regime, so they persist on disk)
+    trees = {"baseline": ("sourceData", SimulatorDataModule),
+             "st": ("srd_st", TwoDomainDataModule),
+             "hm": ("srd_hm", TwoDomainDataModule),
+             "cyclegan": ("srd_cg", TwoDomainDataModule),
+             "mme": ("srd_mme", TwoDomainDataModule)}
+    for name in args.regimes:
+        sk = f"student_{name}"
+        if sk in results and not args.force:
+            log.info("%s: cached in study_summary.json", sk)
+            continue
+        teacher_path = f"results/{name}/best_weights.msgpack"
+        root, DM = trees[name]
+        if not os.path.exists(teacher_path) or not os.path.exists(root):
+            log.warning("%s: missing %s — skipping student", sk,
+                        teacher_path if not os.path.exists(teacher_path)
+                        else root)
+            continue
+        t0 = time.time()
+        t_trainer = SupervisedTrainer(**kw())
+        t_state = load_weights(teacher_path,
+                               t_trainer.init_state(jax.random.key(0)))
+        student = DistillTrainer(
+            teacher_model=t_trainer.model, teacher_params=t_state.params,
+            teacher_batch_stats=t_state.batch_stats, num_cls=4, lr=args.lr,
+            augment=True)
+        data = DM(data_path=root, batch_size=args.batch_size, seed=42,
+                  load_into_memory=True, device_cache=regime_cache(sk))
+        data.setup()
+        s_best, _, _ = fit(student, student.init_state(jax.random.key(4)),
+                           data, max_epochs=args.epochs,
+                           out_dir=f"results/{sk}", resume=not args.force)
+        results[sk] = run_eval(student.eval_step, s_best,
+                               target_test_batches())
+        save_summary()
+        log.info("%s: %s (%.0fs)", sk, results[sk], time.time() - t0)
 
 
 if __name__ == "__main__":

@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "'tiny' is a fast smoke-test config)")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the run's checkpoint dir if present")
+    p.add_argument("--log_every", type=int, default=50,
+                   help="Log train scalars every N global steps")
     p.add_argument("--fast_train", action="store_true",
                    help="segment-wise FC-DenseNet train forward (no dense "
                         "concats in fwd/bwd; same BN semantics, own dropout "
@@ -88,6 +90,10 @@ def main(args=None) -> dict:
 
     seed = 42 if args.reproducible else args.seed
     out_dir = os.path.join(args.default_root_dir or "results", args.model_name)
+    if jax.process_count() > 1 and jax.process_index() > 0:
+        # state is replicated, so process 0's artifacts are canonical;
+        # other ranks log/checkpoint to a scratch subdir to avoid races
+        out_dir = os.path.join(out_dir, f"proc{jax.process_index()}")
 
     # data parallelism: mesh + batch sharding around the unchanged fit loop
     mesh = None
@@ -162,7 +168,7 @@ def main(args=None) -> dict:
         best_state, best_iou, _ = fit(
             trainer, state, data, max_epochs=args.max_epochs, out_dir=out_dir,
             model_name=args.model_name, seed=seed, train_step_fn=train_step_fn,
-            resume=args.resume)
+            log_every=args.log_every, resume=args.resume)
     finally:
         if profiler_ctx:
             jax.profiler.stop_trace()

@@ -15,6 +15,12 @@ def setup_cache(cache_dir: str | None = None) -> None:
     cache_dir = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/jax_s2r_tpu"))
+    if jax.process_count() > 1:
+        # per-rank cache under jax.distributed: a SHARED cache can serve
+        # one rank a hit while its peer compiles the same program — a
+        # minutes-long skew that trips the CPU collectives' (gloo) op
+        # timeouts mid-run.  Symmetric misses keep ranks in lockstep.
+        cache_dir = os.path.join(cache_dir, f"proc{jax.process_index()}")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

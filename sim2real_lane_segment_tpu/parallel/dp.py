@@ -69,6 +69,26 @@ def resolve_dp(dp: str | None, batch_size: int) -> int:
     return n
 
 
+def warmup_collective(mesh: Mesh) -> None:
+    """Execute one tiny cross-process all-reduce while every rank is
+    still in lockstep (right after jax.distributed init).  The CPU
+    backend's gloo communicator is created at the FIRST collective with
+    a ~30 s context-init timeout; deferring that to the first train step
+    — which each rank reaches only after minutes of its own compiles —
+    was observed to time out on slow hosts.  Creating the clique here
+    lets every later collective reuse it."""
+    import numpy as np
+
+    # put_global under jax.distributed takes each rank's LOCAL portion
+    x = put_global(np.ones((mesh.devices.size // jax.process_count(),),
+                           np.float32),
+                   NamedSharding(mesh, P(DATA_AXIS)))
+    total = float(jax.jit(lambda v: v.sum())(x))
+    assert total == mesh.devices.size, total
+    log.info("cross-process collective warmup OK (%d devices, %d processes)",
+             mesh.devices.size, jax.process_count())
+
+
 class DataParallelTrainer:
     """Wrap a SupervisedTrainer/MMETrainer so train/loop.fit runs
     data-parallel.  Exposes the same fit-loop surface (default_step_fn,
@@ -83,6 +103,8 @@ class DataParallelTrainer:
         self.mesh = mesh
         self.batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
         self.replicated = NamedSharding(mesh, P())
+        if jax.process_count() > 1:
+            warmup_collective(mesh)
         # The scanned-epoch dispatch gathers batches on device from the
         # row-sharded split cache; the trainer's scan body constrains
         # each gathered batch onto the data axis via this attribute.  It
@@ -140,5 +162,13 @@ class DataParallelTrainer:
             self.on_mesh(state), self.on_mesh(arrays), idx_chunk, key, epoch)
 
     def eval_step(self, state, images, labels):
-        images, labels = self.shard_batch((images, labels))
+        if jax.process_count() > 1:
+            # eval is NOT sharded by the samplers — every process reads the
+            # full val/test batch, so the full array IS the local portion
+            # of a replicated global array (put_global handles assembly);
+            # sharding it would mis-declare the batch as 2x its size
+            images = put_global(images, self.replicated)
+            labels = put_global(labels, self.replicated)
+        else:
+            images, labels = self.shard_batch((images, labels))
         return self._trainer.eval_step(self.on_mesh(state), images, labels)

@@ -40,11 +40,33 @@ class TrainCheckpointManager:
 
         self._ocp = ocp
         self.monitor = monitor
+        kw = {}
+        if jax.process_count() > 1:
+            # saved trees are device_get'd numpy of fully-REPLICATED state,
+            # so every rank holds the complete checkpoint and saves LOCALLY:
+            # active_processes={this rank} scopes orbax's async-commit
+            # barrier to one participant (instant), and the per-(rank, dir)
+            # key prefix keeps the barrier names of the several live
+            # managers from colliding ("Barrier _async_write_complete.0 is
+            # already ongoing" otherwise).  cli/train.py gives each
+            # non-zero rank a scratch out_dir; rank 0's is canonical.
+            import hashlib
+            prefix = "p%d_%s" % (
+                jax.process_index(),
+                hashlib.md5(os.path.abspath(ckpt_dir).encode())
+                .hexdigest()[:8])
+            kw["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+                primary_host=None,
+                active_processes={jax.process_index()},
+                barrier_sync_key_prefix=prefix)
+            # orbax refuses create=True with active_processes set
+            os.makedirs(os.path.abspath(ckpt_dir), exist_ok=True)
+            kw["create"] = False
         opts = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=lambda m: m.get(monitor, float("-inf")),
             best_mode=mode,
-            enable_async_checkpointing=use_async)
+            enable_async_checkpointing=use_async, **kw)
         self._mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir),
                                           options=opts)
 
