@@ -7,12 +7,14 @@ CPU_ENV = PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 .PHONY: test test-fast bench dryrun lint sim-bench serve domain-study \
         domain-study-scaled multihost
 
+# full gate suite (slow marks included) — the pre-release bar
 test:
 	$(CPU_ENV) python -m pytest tests/ -x -q
 
+# default developer/CI loop: <5 min on a warm compile cache (conftest.py
+# enables a persistent XLA cache; the first cold run builds it)
 test-fast:
-	$(CPU_ENV) python -m pytest tests/ -x -q -m "not slow" \
-	    --ignore=tests/test_train.py
+	$(CPU_ENV) python -m pytest tests/ -x -q -m "not slow"
 
 bench:
 	python bench.py
