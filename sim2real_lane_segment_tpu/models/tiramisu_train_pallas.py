@@ -439,31 +439,69 @@ def _wf3(kernel, dtype):
 
 
 def _pool2_cm(x, h, w):
-    """2x2 maxpool (floor) channel-major; literal -inf init so the
-    reverse-mode reduce_window rule fires (see tiramisu_fast)."""
-    b = x.shape[0]
-    y = x[:, :, :h * w].reshape(b, -1, h, w)
-    y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
-                              (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+    """2x2 maxpool (floor) channel-major as a reshape + axis max.
+
+    reduce_window's reverse-mode rule lowers to SelectAndScatter
+    (measured ~6 ms of the b128 train step); jnp.max over the window
+    axes backpropagates as a fused eq-mask.  Forward values identical;
+    the subgradient at EXACT in-window ties splits evenly among the
+    maxima instead of picking the first — ties only arise on
+    whole-channel-dropped planes, whose cotangents the consumer's
+    dropout mask zeroes anyway (QUIRKS.md)."""
+    b, c = x.shape[0], x.shape[1]
     ho, wo = h // 2, w // 2
-    y = y.reshape(b, -1, ho * wo)
+    y = x[:, :, :h * w].reshape(b, c, h, w)[:, :, :ho * 2, :wo * 2]
+    y = jnp.max(y.reshape(b, c, ho, 2, wo, 2), axis=(3, 5))
+    y = y.reshape(b, c, ho * wo)
     return jnp.pad(y, ((0, 0), (0, 0), (0, _pp(ho, wo) - ho * wo)))
 
 
 def _transition_up_cm(segs, offs, h, w, sh, sw, p, dtype):
-    """Segment-sum stride-2 VALID 3x3 transposed conv -> center-crop."""
+    """Stride-2 VALID 3x3 transposed conv over the virtual concat ->
+    center-crop, as ONE kn2row GEMM + 4-phase interleave.
+
+    jax.lax.conv_transpose lowers to an input-dilated conv (operand 3/4
+    zeros) whose VJP re-dilates both gradient convs — measured 46 ms of
+    the 207 ms b128 train step (22%), invariant to K width.  Output
+    phase (py, px) = (y mod 2, x mod 2) only ever reads kernel taps with
+    ky = py (mod 2), kx = px (mod 2), so the whole op is 9 pointwise
+    full-K GEMMs (computed as one [9*O, C] x [C, P] contraction) plus
+    zero-pad shifts and a stack/reshape interleave — every piece with a
+    clean MXU-shaped VJP and no dilation anywhere."""
     b = segs[0].shape[0]
-    out = None
-    for seg, (lo, hi) in zip(segs, offs):
-        x4 = seg[:, :, :h * w].reshape(b, -1, h, w)
-        y = jax.lax.conv_transpose(
-            x4.astype(dtype), p["kernel"][:, :, lo:hi, :].astype(dtype),
-            (2, 2), "VALID", dimension_numbers=("NCHW", "HWIO", "NCHW"))
-        out = y if out is None else out + y
+    x = jnp.concatenate([s[:, :, :h * w] for s in segs], axis=1)
+    c = x.shape[1]
+    k = p["kernel"]                                   # [3, 3, C, O] HWIO
+    o = k.shape[-1]
+    kf = jnp.transpose(k, (0, 1, 3, 2)).reshape(9 * o, c)  # tap-major
+    y9 = jnp.einsum("mc,bcp->bmp", kf.astype(dtype), x.astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+    # extend one row/col: the VALID output is (2h+1, 2w+1) and the even
+    # phases' last row/col read x[h-1]/x[w-1] through the down-shifts
+    y9 = jnp.pad(y9.reshape(b, 9, o, h, w),
+                 ((0, 0), (0, 0), (0, 0), (0, 1), (0, 1)))
+
+    def dn(t):  # value at row i comes from row i-1 (zero at i=0)
+        return jnp.pad(t[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)))
+
+    def rt(t):  # value at col j comes from col j-1 (zero at j=0)
+        return jnp.pad(t[:, :, :, :-1], ((0, 0), (0, 0), (0, 0), (1, 0)))
+
+    # conv_transpose (transpose_kernel=False) correlates the UNFLIPPED
+    # kernel over the dilated input: out[2i] = k[0] x[i-1] + k[2] x[i]
+    tap = lambda ky, kx: y9[:, ky * 3 + kx]
+    p00 = rt(dn(tap(0, 0))) + dn(tap(0, 2)) + rt(tap(2, 0)) + tap(2, 2)
+    p01 = dn(tap(0, 1)) + tap(2, 1)
+    p10 = rt(tap(1, 0)) + tap(1, 2)
+    p11 = tap(1, 1)
+    he, we = h + 1, w + 1
+    r0 = jnp.stack([p00, p01], axis=-1).reshape(b, o, he, 2 * we)
+    r1 = jnp.stack([p10, p11], axis=-1).reshape(b, o, he, 2 * we)
+    out = jnp.stack([r0, r1], axis=3).reshape(b, o, 2 * he, 2 * we)
     out = out + p["bias"].astype(dtype)[:, None, None]
-    y0 = (out.shape[2] - sh) // 2
-    x0 = (out.shape[3] - sw) // 2
-    out = out[:, :, y0:y0 + sh, x0:x0 + sw].reshape(b, -1, sh * sw)
+    y0 = (2 * h + 1 - sh) // 2
+    x0 = (2 * w + 1 - sw) // 2
+    out = out[:, :, y0:y0 + sh, x0:x0 + sw].reshape(b, o, sh * sw)
     return jnp.pad(out, ((0, 0), (0, 0), (0, _pp(sh, sw) - sh * sw)))
 
 

@@ -68,6 +68,7 @@ def test_make_proposer_rejects_unknown():
         make_proposer("gp", SPACE)
 
 
+@pytest.mark.slow
 def test_tune_cli_smoke(tmp_path, rng):
     """2-trial, 2-epoch sweep over tiny synthetic MME data with TPE."""
     from helpers import make_simreal_tree

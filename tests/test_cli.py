@@ -136,6 +136,7 @@ def test_get_real_data_imitate_zero_egress(tmp_path, monkeypatch):
     assert not os.path.exists(tmp_path / "realVideos")
 
 
+@pytest.mark.slow
 def test_train_cyclegan_cli(tmp_path, rng):
     """Tiny end-to-end: train a 1-block cycle on two 8-image PNG domains,
     then feed the saved generator through sim2real_convert."""

@@ -1,6 +1,7 @@
 """CycleGAN training (train/cyclegan.py): step mechanics, replay pool,
 learning signal on toy domains, and save/convert compatibility."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ def test_discriminator_patch_grid():
     assert out.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_is_finite():
     tr = make_trainer()
     state = tr.init_state(jax.random.key(0), H, W)
@@ -61,6 +63,7 @@ def test_train_step_updates_and_is_finite():
         assert moved
 
 
+@pytest.mark.slow
 def test_fit_reduces_cycle_and_identity_loss():
     tr = make_trainer()
     state = tr.init_state(jax.random.key(1), H, W)

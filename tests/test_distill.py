@@ -1,5 +1,6 @@
 """LaneNetLite student + distillation step."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ from helpers import tiny_model
 H, W = 24, 32
 
 
+@pytest.mark.slow
 def test_lanenet_lite_forward():
     m = LaneNetLite(n_classes=4, policy=F32_POLICY)
     x = jnp.zeros((2, 120, 160, 3))
@@ -30,6 +32,7 @@ def test_lanenet_lite_param_budget():
     assert n < 1_500_000, f"student too big: {n}"
 
 
+@pytest.mark.slow
 def test_distill_step_learns(rng):
     # teacher = the small FCDenseNet used across tests; student small too
     teacher = tiny_model()

@@ -15,6 +15,8 @@ import pytest
 from helpers import write_split
 
 
+pytestmark = pytest.mark.slow  # multi-minute gate: subprocess cluster / end-to-end study
+
 @pytest.fixture
 def workdir(tmp_path):
     rng = np.random.default_rng(0)

@@ -118,6 +118,7 @@ def test_3way_branch_turns(m4):
         assert abs(float(lp.dist)) < 1e-4, (pos_t, ang, lp)
 
 
+@pytest.mark.slow
 def test_expert_drives_through_4way(m4):
     """Integration gate (VERDICT r1 item 3): expert drives straight
     through the 4-way intersection, staying in lane the whole way."""
@@ -142,6 +143,7 @@ def test_expert_drives_through_4way(m4):
     assert max_z > 3.0, "did not cross the intersection"
 
 
+@pytest.mark.slow
 def test_npc_duckiebot_crosses_4way(m4):
     """NPC duckiebots use the same lane geometry — one placed before the
     intersection drives through it."""
@@ -157,6 +159,7 @@ def test_npc_duckiebot_crosses_4way(m4):
     assert max_z > 3.0, f"npc stuck at {bot.pos / ts}"
 
 
+@pytest.mark.slow
 def test_udem1_expert_loop():
     """udem1-equivalent: expert completes a long run across 3-way
     intersections without leaving the lane."""
@@ -182,6 +185,7 @@ def test_udem1_expert_loop():
 
 @pytest.mark.parametrize("map_name", ["small_loop_cw", "loop_empty", "loop",
                                       "zigzag_dists"])
+@pytest.mark.slow
 def test_lane_continuity_around_course(map_name):
     """Expert laps courses containing curve_right tiles with small lane
     error throughout — catches lane-center discontinuities at tile

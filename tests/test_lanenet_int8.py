@@ -61,6 +61,7 @@ def frames():
     return np.asarray(x, np.float32)
 
 
+@pytest.mark.slow
 def test_int8_matches_float_argmax(trained, frames):
     model, variables = trained
     ref = model.apply(variables, frames, train=False, use_softmax=False)

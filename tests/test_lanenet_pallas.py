@@ -75,6 +75,7 @@ def test_kernel_ft2_matches(small_qn):
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_serve_agrees_with_int8_apply(small_qn):
     _, qn = small_qn
     u8 = np.random.default_rng(5).integers(

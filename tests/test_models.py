@@ -122,6 +122,7 @@ def test_encdecnet_forward():
     np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fcdensenet_remat_parity():
     """remat=True must change memory behavior only: identical param tree,
     bit-identical eval forward/grads, train-mode within float noise (the

@@ -17,6 +17,9 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute gate: subprocess cluster / end-to-end study
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -119,6 +119,7 @@ def test_lane_tangent_unit():
     assert norm == pytest.approx(1.0, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_expert_stays_in_lane():
     """Integration: expert-driven physics keeps the agent in lane around
     the small loop for 300 steps."""

@@ -51,6 +51,7 @@ def test_fast_apply_softmax_and_argmax(setup):
                                   np.argmax(np.asarray(ref), -1))
 
 
+@pytest.mark.slow
 def test_fast_apply_odd_sizes():
     """The 160x120 odd-size ladder (120 -> ... -> 3) must crop identically."""
     model = FCDenseNet(n_classes=4, down_blocks=(2, 2, 2), up_blocks=(2, 2, 2),
@@ -64,6 +65,7 @@ def test_fast_apply_odd_sizes():
                                atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_fast_apply_wide_classifier_kernel():
     model = FCDenseNet(n_classes=4, down_blocks=(2,), up_blocks=(2,),
                        bottleneck_layers=2, growth_rate=4,
@@ -118,6 +120,7 @@ def test_fast_apply_train_matches_standard_nodropout():
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fast_apply_train_grads_match_nodropout():
     fast_apply_train, model, variables, x = _train_setup()
 
@@ -209,6 +212,7 @@ def test_fast_train_reverse_features_grads_match_flax_adversarial():
                                    atol=5e-5, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_mme_fast_train_step_matches_standard_nodropout():
     """MMETrainer(fast_train=True) reproduces the standard MME step's
     losses on a dropout_rate=0 model."""
@@ -233,6 +237,7 @@ def test_mme_fast_train_step_matches_standard_nodropout():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_supervised_fast_train_step_matches_standard_nodropout():
     """SupervisedTrainer(fast_train=True) reproduces the standard step's
     logs on a dropout_rate=0 model (the only stochastic difference is

@@ -80,6 +80,7 @@ def test_fused_block_new_features_only():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_apply_matches_standard(setup):
     model, variables, x = setup
     ref = model.apply(variables, x, train=False, use_softmax=False)
@@ -100,6 +101,7 @@ def test_pallas_apply_softmax_and_argmax(setup):
                                   np.argmax(np.asarray(ref), -1))
 
 
+@pytest.mark.slow
 def test_pallas_apply_odd_sizes():
     """The 160x120 odd-size ladder (H not a power of two) must crop and
     pad identically through the fused path."""
@@ -152,6 +154,7 @@ def test_fused_block_lane_padded_segments():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_predict_step_fused_matches_standard():
     """The CLI-facing fused predictor must produce the same class maps as
     the standard jitted predict_step."""

@@ -42,6 +42,7 @@ def setup():
     return model, variables, x
 
 
+@pytest.mark.slow
 def test_matches_flax_apply_nodropout(setup):
     model, variables, x = setup
     ref, mut = model.apply(variables, x, train=True,
@@ -79,6 +80,7 @@ def test_matches_fast_train_with_dropout_exactly():
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_grads_match_flax_nodropout(setup):
     model, variables, x = setup
 
@@ -139,6 +141,7 @@ def test_grads_match_with_dropout_vs_fast():
                                    atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_odd_size_ladder():
     """The 30x40 -> 3-level odd-size crop/pool bookkeeping must agree."""
     model = FCDenseNet(n_classes=4, down_blocks=(2, 2, 2), up_blocks=(2, 2, 2),
@@ -156,6 +159,7 @@ def test_odd_size_ladder():
                                atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_reverse_features_grads_match_fast(setup):
     """MME's adversarial phase: grad_reverse applied per segment must
     flip exactly the same cotangents as the fast path's."""
@@ -185,6 +189,7 @@ def test_reverse_features_grads_match_fast(setup):
                                    atol=5e-5, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_supervised_pallas_train_step_matches_standard_nodropout():
     """SupervisedTrainer(pallas_train=True) reproduces the standard
     step's logs on a dropout_rate=0 model."""
@@ -208,6 +213,7 @@ def test_supervised_pallas_train_step_matches_standard_nodropout():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mme_pallas_train_step_matches_standard_nodropout():
     from sim2real_lane_segment_tpu.train.mme import MMETrainer
 

@@ -80,6 +80,7 @@ def synthetic_batch(rng, n=4):
     return img, y
 
 
+@pytest.mark.slow
 def test_supervised_step_learns(rng):
     tr = small_trainer()
     state = tr.init_state(jax.random.key(0))
@@ -116,6 +117,7 @@ def test_predict_step_shapes(rng):
     assert set(np.unique(pred)) <= {0, 1, 2, 3}
 
 
+@pytest.mark.slow
 def test_mme_step_runs_and_updates(rng):
     tr = MMETrainer(num_cls=4, height=H, width=W, augment=False,
                     model=tiny_model())
@@ -143,6 +145,7 @@ def test_mme_lr_groups():
     assert lr_cls25 == pytest.approx(tr.lr * 1e-3)
 
 
+@pytest.mark.slow
 def test_grad_reverse_direction(rng):
     """Phase G must push featureExtractor and classifier in *opposing*
     directions on the entropy objective (the MME minimax)."""
@@ -186,6 +189,7 @@ def test_grad_reverse_direction(rng):
 # fit loop
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_fit_loop_end_to_end(tmp_path, rng):
     from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
     from sim2real_lane_segment_tpu.train.loop import fit

@@ -2,6 +2,7 @@
 pipeline shapes/determinism/label-alignment."""
 import cv2
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -111,6 +112,7 @@ def test_augment_label_values_preserved(rng):
     assert got <= {0, 1, 2, 3}  # nearest interp must never invent classes
 
 
+@pytest.mark.slow
 def test_crop_label_matmul_matches_gather(rng):
     """The one-hot-matmul nearest label resample must be bit-identical to
     the index-gather formulation it replaced (gathers measured ~16 ms per

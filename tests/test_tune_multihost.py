@@ -11,9 +11,12 @@ trials shard round-robin by process index (cli/tune.py:133-137).  Gates:
 """
 import json
 import os
+import pytest
 import socket
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow  # multi-minute gate: subprocess cluster / end-to-end study
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
