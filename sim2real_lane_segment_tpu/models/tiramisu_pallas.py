@@ -61,7 +61,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-5
 DN = ("NHWC", "HWIO", "NHWC")
-_VMEM_BUDGET = 48 * 1024 * 1024
+_VMEM_BUDGET = 48 * 1024 * 1024        # tiled kernel (scratch + temporaries)
+_PACK_BUDGET = 64 * 1024 * 1024        # packed kernel: more slack measured
 LANE = 128
 
 
@@ -115,9 +116,213 @@ def _pick_tile_rows(h, w, c_total, growth, n_layers, itemsize, align):
     raise ValueError(f"no feasible tile size for h={h} w={w} c={c_total}")
 
 
+def _pick_pack(bsz, p_img, c_total, c_in, growth, itemsize, with_td):
+    """Largest power-of-two divisor of the batch whose packed VMEM
+    footprint fits the budget (images-per-grid-step for the packed
+    kernel); 0 if even a single image does not fit."""
+    def fits(k):
+        p = k * p_img
+        f_b = _ceil(c_total, 8) * p * itemsize
+        g_b = _ceil(max(9 * growth, 8), 8) * p * 4
+        x_b = _ceil(c_in, 8) * p * itemsize
+        tmp = LANE * p * (itemsize + 4)
+        td_b = LANE * p * itemsize if with_td else 0
+        return f_b + g_b + x_b + tmp + td_b <= _PACK_BUDGET
+
+    if not fits(1):
+        return 0
+    ips = 1
+    while bsz % (ips * 2) == 0 and fits(ips * 2):
+        ips *= 2
+    return ips
+
+
 # ---------------------------------------------------------------------------
-# kernel
+# kernels
 # ---------------------------------------------------------------------------
+
+def _packed_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
+                         p_img, p_seg, p_out, ips, dtype, temp=None,
+                         with_td=False):
+    """Whole-image variant: each grid step processes ``ips`` complete
+    images packed along the lane axis, one image per ``p_img``-lane slot.
+
+    The slot gap (``p_img - h*w >= w + 1`` lanes) doubles as the conv
+    halo: every 3x3 tap roll lands out-of-image reads in a gap whose A
+    columns are masked to zero, so no inter-image masking is needed and
+    the result is bit-identical to the per-image kernel.  Packing exists
+    purely to amortize per-grid-step overhead (mask setup, small GEMM
+    dispatch, DMA latency) across images — the dominant cost at the deep
+    levels, where one 15x20 image is 300 px against a 128-lane vector
+    unit (measured in artifacts/serve_bench/serve_breakdown_67_b256.log).
+    """
+    n_seg = len(seg_chans)
+    seg_hbm = refs[:n_seg]
+    scale_ref, shift_ref, wf_ref, bias_ref = refs[n_seg:n_seg + 4]
+    idx = n_seg + 4
+    wct_ref = cb_ref = None
+    if temp is not None:
+        wct_ref, cb_ref = refs[idx:idx + 2]
+        idx += 2
+    td_sc_ref = td_sh_ref = td_wt_ref = td_b_ref = td_hbm = None
+    if with_td:
+        td_sc_ref, td_sh_ref, td_wt_ref, td_b_ref = refs[idx:idx + 4]
+        idx += 4
+    out_hbm = refs[idx]
+    idx += 1
+    if with_td:
+        td_hbm = refs[idx]
+        idx += 1
+    f_ref, g_ref, x_ref = refs[idx:idx + 3]
+    idx += 3
+    td_ref = None
+    if with_td:
+        td_ref = refs[idx]
+        idx += 1
+    sems = refs[idx]
+
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    g = growth
+    n = n_layers
+    c_in = sum(seg_chans)
+    c_total = c_in + n * g
+    hw = h * w
+    P = ips * p_img
+
+    # --- DMA pipeline: per-image slot copies, double-buffered ------------
+    def _copies(bb):
+        cps = []
+        for k in range(ips):
+            off = 0
+            for i in range(n_seg):
+                cps.append(pltpu.make_async_copy(
+                    seg_hbm[i].at[bb * ips + k, :, :],
+                    x_ref.at[off:off + seg_chans[i],
+                             k * p_img:k * p_img + p_seg],
+                    sems.at[0]))
+                off += seg_chans[i]
+        return cps
+
+    @pl.when(b == 0)
+    def _():
+        if p_img > p_seg:
+            # slot-gap lanes are never DMA'd; zero once (persists)
+            for k in range(ips):
+                x_ref[0:c_in, k * p_img + p_seg:(k + 1) * p_img] = (
+                    jnp.zeros((c_in, p_img - p_seg), dtype))
+        for c in _copies(b):
+            c.start()
+
+    for c in _copies(b):
+        c.wait()
+    f_ref[0:c_in, :] = x_ref[0:c_in, :]
+
+    @pl.when(b < nb - 1)
+    def _():
+        for c in _copies(b + 1):
+            c.start()
+
+    # --- masks over the slot-local pixel index ---------------------------
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    img = jax.lax.div(pid, p_img)
+    local = pid - img * p_img
+    row = jax.lax.div(local, w)
+    col = local - row * w
+    mask_v = (local < hw).astype(jnp.float32)
+    mask_l = mask_v * (col != 0)
+    mask_r = mask_v * (col != (w - 1))
+
+    # --- dense layers (identical math to _dense_block_kernel) ------------
+    for j in range(n):
+        c_j = c_in + j * g
+        # accumulate the K-chunk partials as VALUES (one g_ref write):
+        # no VMEM read-modify-write between chunks, and chunk k+1's
+        # BN->ReLU A-prep (VPU) carries no false dependency on chunk k's
+        # GEMM (MXU), so the scheduler can overlap the two units
+        gacc = None
+        for kc in range(0, c_j, LANE):
+            ck = min(LANE, c_j - kc)
+            blk = f_ref[kc:kc + ck, :].astype(jnp.float32)
+            sc = scale_ref[kc:kc + ck, j:j + 1]
+            sh = shift_ref[kc:kc + ck, j:j + 1]
+            a = (jnp.maximum(blk * sc + sh, 0.0) * mask_v).astype(dtype)
+            part = jnp.dot(wf_ref[j, :, kc:kc + ck], a,
+                           preferred_element_type=jnp.float32)
+            gacc = part if gacc is None else gacc + part
+        g_ref[:, :] = gacc
+        acc = None
+        for ky in range(3):
+            for kx in range(3):
+                tap = ky * 3 + kx
+                gs = g_ref[tap * g:(tap + 1) * g, :]
+                roll = (ky - 1) * w + (kx - 1)
+                if roll != 0:
+                    gs = pltpu.roll(gs, shift=(-roll) % P, axis=1)
+                if kx == 0:
+                    gs = gs * mask_l
+                elif kx == 2:
+                    gs = gs * mask_r
+                acc = gs if acc is None else acc + gs
+        y = acc + bias_ref[j, :][:, None]
+        f_ref[c_j:c_j + g, :] = y.astype(dtype)
+
+    if temp is None:
+        outs = [pltpu.make_async_copy(
+            f_ref.at[c_lo:c_total, k * p_img:k * p_img + p_out],
+            out_hbm.at[b * ips + k, :, :], sems.at[3])
+            for k in range(ips)]
+        for o in outs:
+            o.start()
+        if not with_td:
+            for o in outs:
+                o.wait()
+            return
+        # --- fused TransitionDown (pre-pool): BN -> ReLU -> 1x1 conv ----
+        prev = []
+        for mc in range(0, c_total, LANE):
+            cm_ = min(LANE, c_total - mc)
+            u = None
+            for kc in range(0, c_total, LANE):
+                ck = min(LANE, c_total - kc)
+                blk = f_ref[kc:kc + ck, :].astype(jnp.float32)
+                a = (jnp.maximum(blk * td_sc_ref[kc:kc + ck, :]
+                                 + td_sh_ref[kc:kc + ck, :], 0.0)
+                     * mask_v).astype(dtype)
+                part = jnp.dot(td_wt_ref[mc:mc + cm_, kc:kc + ck], a,
+                               preferred_element_type=jnp.float32)
+                u = part if u is None else u + part
+            for c in prev:
+                c.wait()
+            td_ref[0:cm_, :] = (u.astype(dtype)
+                                + td_b_ref[mc:mc + cm_, :].astype(dtype))
+            prev = [pltpu.make_async_copy(
+                td_ref.at[0:cm_, k * p_img:k * p_img + p_out],
+                td_hbm.at[b * ips + k, pl.ds(mc, cm_), :], sems.at[2])
+                for k in range(ips)]
+            for c in prev:
+                c.start()
+        for c in prev:
+            c.wait()
+        for o in outs:
+            o.wait()
+        return
+
+    # --- fused classifier tail: L2 norm -> 1x1 conv -> /T ----------------
+    feats = f_ref[0:c_total, :].astype(jnp.float32)
+    norm2 = jnp.sum(feats * feats, axis=0, keepdims=True)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(norm2), 1e-12)
+    fn = (feats * inv).astype(dtype)
+    u = jnp.dot(wct_ref[:, :], fn, preferred_element_type=jnp.float32)
+    g_ref[0:8, :] = (u + cb_ref[:, :]) * (1.0 / temp)
+    outs = [pltpu.make_async_copy(
+        g_ref.at[0:8, k * p_img:k * p_img + p_out],
+        out_hbm.at[b * ips + k, :, :], sems.at[3]) for k in range(ips)]
+    for o in outs:
+        o.start()
+    for o in outs:
+        o.wait()
+
 
 def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
                         tile_rows, n_tiles, align, dtype, temp=None,
@@ -364,14 +569,9 @@ def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
     bsz = segments[0].shape[0]
     p_pad = segments[0].shape[2]
     dtype = segments[0].dtype
+    itemsize = jnp.dtype(dtype).itemsize
     c_in = sum(seg_chans)
     c_total = c_in + n_layers * growth
-    if tile_rows is None:
-        tile_rows = _pick_tile_rows(h, w, c_total, growth, n_layers,
-                                    jnp.dtype(dtype).itemsize, align)
-    nt = h // tile_rows
-    trw = _ceil(tile_rows * w, align) if nt == 1 else tile_rows * w
-    assert trw * nt == p_pad, (trw, nt, p_pad)
 
     extra_in = list(folded)
     temp = None
@@ -388,6 +588,53 @@ def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
                      td_wt.astype(dtype), td_b.astype(jnp.float32)]
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((bsz, c_total, p_pad), dtype))
+
+    common = dict(
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY)
+                   if transition is None else
+                   (pl.BlockSpec(memory_space=pl.ANY),) * 2),
+        out_shape=out_shape,
+        # v5e has 128 MiB VMEM; the default 16 MiB scoped cap is too small
+        # for the unrolled per-layer GEMM temporaries
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    # whole-image packed path: slot gap >= w+1 makes the image
+    # self-haloed; pack as many images per grid step as VMEM affords
+    p_img = _ceil(h * w + w + 1, align)
+    ips = _pick_pack(bsz, p_img, c_total, c_in, growth, itemsize,
+                     transition is not None)
+    if ips > 0 and (tile_rows is None or tile_rows == h):
+        P = ips * p_img
+        kernel = functools.partial(
+            _packed_block_kernel, n_layers=n_layers, growth=growth,
+            seg_chans=seg_chans, c_lo=c_lo, w=w, h=h, p_img=p_img,
+            p_seg=p_pad, p_out=p_pad, ips=ips, dtype=dtype, temp=temp,
+            with_td=transition is not None)
+        return pl.pallas_call(
+            kernel,
+            grid=(bsz // ips,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(segments) + [
+                pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra_in),
+            scratch_shapes=[
+                pltpu.VMEM((c_total, P), dtype),
+                pltpu.VMEM((max(9 * growth, 8), P), jnp.float32),
+                pltpu.VMEM((c_in, P), dtype),
+            ] + ([pltpu.VMEM((LANE, P), dtype)]
+                 if transition is not None else []) + [
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            **common,
+        )(*segments, *extra_in)
+
+    if tile_rows is None:
+        tile_rows = _pick_tile_rows(h, w, c_total, growth, n_layers,
+                                    itemsize, align)
+    nt = h // tile_rows
+    trw = _ceil(tile_rows * w, align) if nt == 1 else tile_rows * w
+    assert trw * nt == p_pad, (trw, nt, p_pad)
     kernel = functools.partial(
         _dense_block_kernel, n_layers=n_layers, growth=growth,
         seg_chans=seg_chans, c_lo=c_lo, w=w, h=h, tile_rows=tile_rows,
@@ -399,10 +646,6 @@ def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
         grid=(bsz, nt),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(segments) + [
             pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra_in),
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY)
-                   if transition is None else
-                   (pl.BlockSpec(memory_space=pl.ANY),) * 2),
-        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((c_total, p_scr), dtype),
             pltpu.VMEM((max(9 * growth, 8), p_scr), jnp.float32),
@@ -411,11 +654,7 @@ def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
              if transition is not None else []) + [
             pltpu.SemaphoreType.DMA((4,)),
         ],
-        # v5e has 128 MiB VMEM; the default 16 MiB scoped cap is too small
-        # for the unrolled per-layer GEMM temporaries
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
+        **common,
     )(*segments, *extra_in)
 
 
