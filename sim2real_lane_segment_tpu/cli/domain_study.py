@@ -38,7 +38,8 @@ log = logging.getLogger(__name__)
 
 
 def _record_domain(out_dir: str, map_name: str, *, seed: int, episodes: int,
-                   steps: int, distortion: bool, color_shift=None) -> None:
+                   steps: int, distortion: bool, color_shift=None,
+                   texture_pack=None, noise_sigma=None) -> None:
     import cv2
     import jax
 
@@ -51,7 +52,7 @@ def _record_domain(out_dir: str, map_name: str, *, seed: int, episodes: int,
         log.info("%s cached", out_dir)
         return
     m = builtin_map(map_name)
-    scene = render.build_scene(m, seed=seed)
+    scene = render.build_scene(m, seed=seed, texture_pack=texture_pack)
     la = lanes.build_lane_arrays(m)
     rng = np.random.default_rng(seed)
     rec = out_dir + "_rec"
@@ -68,7 +69,8 @@ def _record_domain(out_dir: str, map_name: str, *, seed: int, episodes: int,
                 key, k = jax.random.split(key)
                 batch = rollout.expert_rollout(
                     scene, la, k, pos, angle, tile_size=m.tile_size,
-                    n_steps=24, height=480, width=640, distortion=distortion)
+                    n_steps=24, height=480, width=640, distortion=distortion,
+                    procedural=texture_pack is None)
                 wo.write(np.asarray(batch.orig)[:, 0, :, :, ::-1])
                 wa.write(np.asarray(batch.annot)[:, 0, :, :, ::-1])
                 pos, angle = batch.pos[-1], batch.angle[-1]
@@ -77,12 +79,18 @@ def _record_domain(out_dir: str, map_name: str, *, seed: int, episodes: int,
     raw = out_dir + "_raw"
     postprocess.main(["-id", rec, "-od", raw])
     preprocess_db.main(["--dbType", "sim", "--dataPath", raw])
-    if color_shift is not None:
-        scale, shift = color_shift
+    if color_shift is not None or noise_sigma:
+        png_rng = np.random.default_rng(seed + 77)
         for split in ("train", "valid", "test"):
-            for p in glob.glob(f"{raw}/{split}/input/*.png"):
+            for p in sorted(glob.glob(f"{raw}/{split}/input/*.png")):
                 img = cv2.imread(p).astype(np.float32)
-                img = img * np.asarray(scale) + shift
+                if color_shift is not None:
+                    scale, shift = color_shift
+                    img = img * np.asarray(scale) + shift
+                if noise_sigma:
+                    # per-frame sensor noise (shot/read noise proxy): the
+                    # real camera's grain the sim lacks
+                    img = img + png_rng.normal(0.0, noise_sigma, img.shape)
                 cv2.imwrite(p, np.clip(img, 0, 255).astype(np.uint8))
     os.rename(raw, out_dir)
 
@@ -131,6 +139,15 @@ def main(args=None) -> dict:
                    choices=["67", "67r", "57", "103", "tiny", "lite", "encdec"])
     p.add_argument("--source-map", default="loop_empty")
     p.add_argument("--target-map", default="zigzag")
+    p.add_argument("--target_texture_pack", default=None,
+                   help="render the TARGET domain through a photographic "
+                        "texture pack instead of the procedural shader: a "
+                        "pack directory, or 'auto' to generate one "
+                        "(sim/textures.generate_photo_pack) — the closest "
+                        "in-environment proxy for the real camera domain")
+    p.add_argument("--target_noise", type=float, default=0.0,
+                   help="gaussian sensor-noise sigma added to target "
+                        "input frames (real-camera grain proxy)")
     p.add_argument("--regimes", nargs="+",
                    default=["baseline", "st", "hm", "cyclegan", "mme"])
     p.add_argument("--batch_size", "-b", type=int, default=32,
@@ -175,10 +192,19 @@ def main(args=None) -> dict:
         _record_domain("sourceData", args.source_map, seed=0,
                        episodes=args.episodes, steps=args.steps,
                        distortion=True)
+        pack = args.target_texture_pack
+        if pack == "auto":
+            from ..sim.textures import generate_photo_pack
+            pack = generate_photo_pack("photo_pack", seed=9)
         _record_domain("targetData", args.target_map, seed=9,
                        episodes=args.episodes, steps=args.steps,
-                       distortion=True,
-                       color_shift=((1.05, 0.85, 0.7), -12))
+                       distortion=True, texture_pack=pack,
+                       noise_sigma=args.target_noise,
+                       # the color shift models a camera white-balance
+                       # offset; with a texture pack the appearance shift
+                       # comes from the photographic tiles themselves
+                       color_shift=(None if pack else
+                                    ((1.05, 0.85, 0.7), -12)))
 
         kw = lambda: dict(num_cls=4, augment=True, lr=args.lr,
                           model=build_model(args.arch, 4))
@@ -364,19 +390,24 @@ def _distill_students(args, results, kw, regime_cache, save_summary,
     behind bench.py's student-fps headline)."""
     import jax
 
-    from ..data.modules import SimulatorDataModule, TwoDomainDataModule
+    from ..data.modules import (SimulatorDataModule, TwoDomainMMEDataModule)
     from ..train.checkpoint import load_weights
     from ..train.distill import DistillTrainer
     from ..train.loop import fit, run_eval
     from ..train.supervised import SupervisedTrainer
 
     # each student trains on the tree its teacher saw (HM/CycleGAN trees
-    # were restyled in place during the regime, so they persist on disk)
+    # were restyled in place during the regime, so they persist on disk).
+    # Adapted regimes distill through the MME-style module so the KD term
+    # also sees the target/unlabelled frames (train/distill.py docstring:
+    # matching the teacher on source appearance alone gives the
+    # adaptation back at test time); baseline stays source-only by
+    # definition of that regime.
     trees = {"baseline": ("sourceData", SimulatorDataModule),
-             "st": ("srd_st", TwoDomainDataModule),
-             "hm": ("srd_hm", TwoDomainDataModule),
-             "cyclegan": ("srd_cg", TwoDomainDataModule),
-             "mme": ("srd_mme", TwoDomainDataModule)}
+             "st": ("srd_st", TwoDomainMMEDataModule),
+             "hm": ("srd_hm", TwoDomainMMEDataModule),
+             "cyclegan": ("srd_cg", TwoDomainMMEDataModule),
+             "mme": ("srd_mme", TwoDomainMMEDataModule)}
     for name in args.regimes:
         sk = f"student_{name}"
         if sk in results and not args.force:

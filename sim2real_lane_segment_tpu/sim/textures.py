@@ -263,6 +263,138 @@ def build_atlas_from_pack(path: str, seed: int = 0
     return np.stack(slots), index
 
 
+def _fractal_noise(rng: np.random.Generator, res: int, octaves: int = 5,
+                   persistence: float = 0.55) -> np.ndarray:
+    """Multi-octave value noise in [-1, 1] — the texture backbone of the
+    photographic pack (asphalt mottling, paint wear, grass patching)."""
+    import cv2
+
+    acc = np.zeros((res, res), np.float32)
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        n = res >> (octaves - 1 - o)
+        if n < 2:
+            continue
+        coarse = rng.standard_normal((n, n)).astype(np.float32)
+        acc += amp * cv2.resize(coarse, (res, res),
+                                interpolation=cv2.INTER_CUBIC)
+        total += amp
+        amp *= persistence
+    acc /= max(total, 1e-6)
+    return np.clip(acc / (np.abs(acc).max() + 1e-6), -1.0, 1.0)
+
+
+def _photo_asphalt(rng: np.random.Generator, res: int) -> np.ndarray:
+    """Photo-style asphalt: large-scale tonal mottling + fine aggregate
+    grain + crack lines + a brightness gradient (worn wheel tracks)."""
+    base = 52 + 26 * _fractal_noise(rng, res)            # tonal patches
+    grain = rng.standard_normal((res, res)) * 7.0        # aggregate
+    u = np.linspace(0, 1, res, dtype=np.float32)[None, :]
+    tracks = -10.0 * np.exp(-((u - 0.3) ** 2) / 0.01) \
+        - 10.0 * np.exp(-((u - 0.7) ** 2) / 0.01)        # polished tracks
+    lum = base + grain + tracks
+    # cracks: thin dark level-sets of a smooth field
+    field = _fractal_noise(rng, res, octaves=4, persistence=0.7)
+    cracks = np.abs(field) < 0.015
+    lum = np.where(cracks, lum * 0.55, lum)
+    tex = np.stack([lum * 0.98, lum, lum * 1.06], axis=-1)  # cool cast
+    return np.clip(tex, 0, 255).astype(np.uint8)
+
+
+def _worn_paint(rng: np.random.Generator, mask: np.ndarray,
+                color: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """(paint mask with worn-out holes, per-pixel paint color)."""
+    wear = _fractal_noise(rng, res, octaves=4)
+    keep = mask & (wear > -0.45)                          # flaked-off spots
+    fade = (0.55 + 0.45 * np.clip(wear + 0.6, 0, 1))[..., None]
+    col = color.astype(np.float32)[None, None, :] * fade \
+        + rng.standard_normal((res, res, 3)) * 6.0
+    return keep, np.clip(col, 0, 255).astype(np.uint8)
+
+
+def _photo_grass(rng: np.random.Generator, res: int) -> np.ndarray:
+    n1 = _fractal_noise(rng, res)
+    n2 = _fractal_noise(rng, res, octaves=6, persistence=0.65)
+    g = 105 + 45 * n1 + 18 * n2
+    r = g * (0.55 + 0.12 * n2)
+    b = g * (0.42 + 0.10 * n1)
+    tex = np.stack([r, g, b], axis=-1)
+    dirt = n1 < -0.55                                     # bare patches
+    tex[dirt] = np.clip(np.stack([g * 1.05, g * 0.85, g * 0.6],
+                                 axis=-1)[dirt], 0, 255)
+    return np.clip(tex, 0, 255).astype(np.uint8)
+
+
+def generate_photo_pack(out_dir: str, seed: int = 0) -> str:
+    """Write a photographic-style texture pack in the reference file
+    layout (``<kind>_1.png`` + ``_cv`` variants, graphics.py:25-65) for
+    :func:`build_atlas_from_pack`.
+
+    Zero-egress stand-in for the reference's real road photos: same tile
+    geometry (masks above) so the ``_cv`` recolorings keep the exact
+    channel-sign structure postprocess decodes, but rendered with
+    photo-style statistics — fractal asphalt mottling, aggregate grain,
+    cracks, polished wheel tracks, flaked/faded lane paint with ragged
+    edges, patchy grass.  Used by ``domain_study --target_texture_pack
+    auto`` as the closest in-environment proxy for the real target
+    domain (VERDICT r02 missing-item #1).
+    """
+    import os
+
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    res = RES
+
+    def write(name, tex):
+        cv2.imwrite(os.path.join(out_dir, f"{name}.png"), tex[:, :, ::-1])
+
+    for kind in TILE_KINDS:
+        # stable per-kind stream (PYTHONHASHSEED-independent)
+        kind_id = int.from_bytes(kind.encode(), "little") % 100003
+        rng = np.random.default_rng(seed * 7919 + kind_id)
+        if kind == "grass":
+            write("grass_1", _photo_grass(rng, res))
+            continue
+        if kind == "floor":
+            base = _photo_asphalt(rng, res).astype(np.float32)
+            write("floor_1", np.clip(base * [1.9, 1.6, 1.3], 0,
+                                     255).astype(np.uint8))
+            continue
+        if kind == "asphalt":
+            write("asphalt_1", _photo_asphalt(rng, res))
+            continue
+
+        tex = _photo_asphalt(rng, res)
+        if kind == "straight":
+            white, yellow, right = straight_masks()
+            road = np.ones((res, res), bool)
+        elif kind in ("curve_left", "curve_right"):
+            white, yellow, right, road = curve_masks(kind.split("_")[1])
+            tex[~road] = _photo_grass(rng, res)[~road]
+        else:
+            # reference quirk: intersections ship no _cv variant
+            # (simulator.py:1521-1524); base only, annotated falls back
+            white, yellow = intersection_masks(kind)
+            wk, wc = _worn_paint(rng, white, WHITE, res)
+            tex[wk] = wc[wk]
+            yk, yc = _worn_paint(rng, yellow, YELLOW, res)
+            tex[yk] = yc[yk]
+            write(f"{kind}_1", tex)
+            continue
+
+        annot = tex.copy()
+        annot[road & right] = ANNOT_RIGHT
+        annot[road & ~right] = ANNOT_LEFT
+        wk, wc = _worn_paint(rng, white & road, WHITE, res)
+        tex[wk] = wc[wk]
+        yk, yc = _worn_paint(rng, yellow & road, YELLOW, res)
+        tex[yk] = yc[yk]
+        write(f"{kind}_1", tex)
+        write(f"{kind}_1_cv", annot)
+    return out_dir
+
+
 def rotate_tex_index(orientation: str) -> int:
     """Number of 90° uv rotations for a tile orientation letter.
 

@@ -5,6 +5,19 @@ One jitted step: augment batch on device, teacher eval-mode forward
 student_T) * T^2 + (1 - alpha) * class-weighted CE on the real labels.
 Serves the 10k fps north star: the student runs serving, the teacher
 remains the accuracy reference.
+
+Target-domain distillation (``train_step_unl``): for an ADAPTED teacher
+(S&T/HM/CycleGAN/MME) the student must be distilled on target-looking
+inputs, or it learns to match the teacher only on the source appearance
+and gives the adaptation back at test time — measured as a ~10-IoU
+student-vs-teacher gap on the regimes whose training tree stays
+source-styled (RESULTS.md round-2 distillation table; the HM student
+carried precisely because histogram matching restyles the tree itself).
+KD needs no labels, so the step takes the MME-style batch
+``((x_lab, y), x_unl)`` (data/modules.TwoDomainMMEDataModule) and
+applies the KD term to the unlabelled TARGET frames as well, CE to the
+labelled rows only — same data budget each regime already used
+(MME/HM/CycleGAN consumed target/unlabelled; S&T its labelled subset).
 """
 from __future__ import annotations
 
@@ -62,6 +75,11 @@ class DistillTrainer:
         return cosine_annealing(self.lr, self.lr / self.lr_ratio, 25, epoch)
 
     def default_step_fn(self, state, batch, key, epoch):
+        if len(batch) == 2 and isinstance(batch[0], tuple):
+            # MME-style ((x_lab, y), x_unl): distill on target appearance
+            (images, labels), images_unl = batch
+            return self.train_step_unl(state, images, labels, images_unl,
+                                       key, self.lr_at(epoch))
         images, labels = batch
         return self.train_step(state, images, labels, key, self.lr_at(epoch))
 
@@ -73,7 +91,27 @@ class DistillTrainer:
             x, y = augment_batch(k_aug, images, labels, self.cfg)
         else:
             x, y = eval_batch(images, labels, self.cfg)
+        return self._step_impl(state, x, y, x.shape[0], k_drop, lr)
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step_unl(self, state: DistillState, images: jax.Array,
+                       labels: jax.Array, images_unl: jax.Array,
+                       key: jax.Array, lr: jax.Array):
+        """KD over [labelled ; unlabelled-target], CE over labelled only
+        (module docstring: target-domain distillation)."""
+        k_aug_l, k_aug_u, k_drop = jax.random.split(key, 3)
+        if self.augment:
+            x_lab, y = augment_batch(k_aug_l, images, labels, self.cfg)
+            x_unl, _ = augment_batch(k_aug_u, images_unl, None, self.cfg,
+                                     with_labels=False)
+        else:
+            x_lab, y = eval_batch(images, labels, self.cfg)
+            x_unl, _ = eval_batch(images_unl, None, self.cfg,
+                                  with_labels=False)
+        x = jnp.concatenate([x_lab, x_unl], axis=0)
+        return self._step_impl(state, x, y, x_lab.shape[0], k_drop, lr)
+
+    def _step_impl(self, state, x, y, n_lab, k_drop, lr):
         # teacher logits (frozen, eval mode, pre-softmax)
         t_logits = self.teacher.apply(self.teacher_vars, x, train=False,
                                       use_softmax=False)
@@ -87,7 +125,7 @@ class DistillTrainer:
                 rngs={"dropout": k_drop}, mutable=["batch_stats"])
             s_logp = jax.nn.log_softmax(out / T, axis=-1)
             kd = -jnp.mean(jnp.sum(t_soft * s_logp, axis=-1)) * T * T
-            ce = weighted_cross_entropy(out, y, self.num_cls)
+            ce = weighted_cross_entropy(out[:n_lab], y, self.num_cls)
             loss = self.alpha * kd + (1.0 - self.alpha) * ce
             return loss, (out, mut["batch_stats"], kd, ce)
 

@@ -63,6 +63,47 @@ def test_distill_step_learns(rng):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_distill_step_unl_target_kd(rng):
+    """Target-domain KD step (train/distill.py docstring): runs on
+    MME-style ((x_lab, y), x_unl) batches via default_step_fn; with
+    alpha=1 (pure KD) the labels must not influence the loss — CE is
+    confined to the labelled rows and weighted out."""
+    teacher = tiny_model()
+    tv = teacher.init(jax.random.key(0), jnp.zeros((1, H, W, 3)))
+    student = LaneNetLite(n_classes=4, stem=(8, 16),
+                          body=((16, 1), (16, 1)), policy=F32_POLICY)
+
+    def make(alpha):
+        return DistillTrainer(
+            teacher_model=teacher, teacher_params=tv["params"],
+            teacher_batch_stats=tv["batch_stats"], height=H, width=W,
+            augment=False, alpha=alpha, student_model=student)
+
+    img = rng.integers(0, 255, (4, H, W, 3), dtype=np.uint8)
+    unl = rng.integers(0, 255, (6, H, W, 3), dtype=np.uint8)
+    y0 = rng.integers(0, 4, (4, H, W)).astype(np.uint8)
+    y1 = (y0 + 1) % 4
+
+    tr = make(0.7)
+    state = tr.init_state(jax.random.key(1))
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])  # pre-donation
+    state2, logs = tr.default_step_fn(state, ((img, y0), unl),
+                                      jax.random.key(2), 0)
+    assert np.isfinite(float(logs["tr_loss"]))
+    p2 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(p0, np.asarray(p2))
+
+    kd_only = make(1.0)
+    s = kd_only.init_state(jax.random.key(1))
+    _, la = kd_only.train_step_unl(s, img, y0, unl, jax.random.key(3),
+                                   jnp.float32(1e-3))
+    s = kd_only.init_state(jax.random.key(1))
+    _, lb = kd_only.train_step_unl(s, img, y1, unl, jax.random.key(3),
+                                   jnp.float32(1e-3))
+    assert float(la["tr_loss"]) == float(lb["tr_loss"])
+    assert float(la["tr_ce"]) != float(lb["tr_ce"])  # ce computed, unweighted
+
+
 def test_legacy_flat_artifact_loads():
     """artifacts/lanenet_lite_sim.msgpack predates the featureExtractor/
     classifier split; load_weights must remap the flat layout."""

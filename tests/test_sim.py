@@ -308,6 +308,35 @@ def test_texture_pack_atlas(tmp_path):
                                   proc[index["curve_left"] + 1])
 
 
+def test_generate_photo_pack(tmp_path):
+    """generate_photo_pack writes the reference pack layout, loads
+    through build_atlas_from_pack, is deterministic per seed, and keeps
+    the _cv annotation recolorings the label extractor decodes."""
+    from sim2real_lane_segment_tpu.sim.textures import (
+        ANNOT_LEFT, ANNOT_RIGHT, RES, TILE_KINDS, build_atlas_from_pack,
+        generate_photo_pack, straight_masks)
+
+    d = generate_photo_pack(str(tmp_path / "pack"), seed=9)
+    atlas, index = build_atlas_from_pack(d, seed=0)
+    assert atlas.shape == (len(TILE_KINDS) * 2, RES, RES, 3)
+    s = index["straight"]
+    base, annot = atlas[s].astype(int), atlas[s + 1].astype(int)
+    # photographic base: textured (not flat), road-dark, not pure colors
+    assert base.std(axis=(0, 1)).mean() > 5.0
+    # annotated variant recolors the lane halves exactly
+    white, yellow, right = straight_masks()
+    assert (annot[right & ~white & ~yellow] == ANNOT_RIGHT).all()
+    assert (annot[~right & ~white & ~yellow] == ANNOT_LEFT).all()
+    # intersections: base only (reference quirk — no _cv file)
+    import os
+    assert os.path.exists(os.path.join(d, "4way_1.png"))
+    assert not os.path.exists(os.path.join(d, "4way_1_cv.png"))
+    # deterministic regeneration
+    d2 = generate_photo_pack(str(tmp_path / "pack2"), seed=9)
+    atlas2, _ = build_atlas_from_pack(d2, seed=0)
+    np.testing.assert_array_equal(atlas, atlas2)
+
+
 def test_texture_pack_renders_and_pairs_align(tmp_path):
     from sim2real_lane_segment_tpu.sim.env import Simulator
     _write_pack(tmp_path)
