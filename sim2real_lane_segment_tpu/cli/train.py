@@ -144,14 +144,12 @@ def main(args=None) -> dict:
         trainer = DataParallelTrainer(trainer, mesh)
         if jax.process_count() == 1:
             # row-shard the device-resident split caches over the mesh so
-            # the scanned-epoch dispatch stays data-parallel; multi-host
-            # runs keep the cache off (each process would need only its
-            # rows — host reads are sharded already)
+            # the scanned-epoch dispatch stays data-parallel
             data.cache_sharding = trainer.batch_sharding
-        elif args.device_cache:
-            logging.warning("--device_cache is single-process only; "
-                            "disabled under jax.distributed")
-            data.device_cache = False
+        # multi-host: caches stay per-process (each rank caches its own
+        # sampler shard on its local devices; shard_batch assembles the
+        # global array per step).  The scanned dispatch gates itself off
+        # under num_shards > 1 (data/modules._scan_inputs).
 
     data.setup()
     state = trainer.init_state(jax.random.key(seed))

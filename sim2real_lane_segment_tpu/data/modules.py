@@ -73,6 +73,12 @@ class BaseDataModule:
         return self._scan_inputs(None, epoch)
 
     def _scan_inputs(self, view, epoch: int):
+        if self.num_shards > 1:
+            # scanned dispatch gathers from a single global device cache;
+            # under jax.distributed each process caches only its sampler
+            # shard, so multi-host runs use the per-batch path (whose
+            # shard_batch assembles the global array from local rows)
+            return None
         if view is None or view.images is None or view.labels is None:
             return None
         idx = self._train_epoch_indices(epoch)

@@ -445,9 +445,13 @@ def _pool2_cm(x, h, w):
     (measured ~6 ms of the b128 train step); jnp.max over the window
     axes backpropagates as a fused eq-mask.  Forward values identical;
     the subgradient at EXACT in-window ties splits evenly among the
-    maxima instead of picking the first — ties only arise on
-    whole-channel-dropped planes, whose cotangents the consumer's
-    dropout mask zeroes anyway (QUIRKS.md)."""
+    maxima instead of picking the first.  Ties arise on whole-channel-
+    dropped planes (whose cotangents the consumer's dropout mask zeroes
+    anyway, QUIRKS.md) but also on any exactly-equal activations — e.g.
+    spatially constant input regions — where the even split diverges
+    from the reference subgradient at those pixels; gradient mass is
+    conserved either way, so the divergence is benign (both in-repo
+    train paths agree; grads-vs-Flax gates pass)."""
     b, c = x.shape[0], x.shape[1]
     ho, wo = h // 2, w // 2
     y = x[:, :, :h * w].reshape(b, c, h, w)[:, :, :ho * 2, :wo * 2]

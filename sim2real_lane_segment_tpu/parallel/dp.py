@@ -33,6 +33,7 @@ from __future__ import annotations
 import logging
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS
@@ -77,8 +78,6 @@ def warmup_collective(mesh: Mesh) -> None:
     — which each rank reaches only after minutes of its own compiles —
     was observed to time out on slow hosts.  Creating the clique here
     lets every later collective reuse it."""
-    import numpy as np
-
     # put_global under jax.distributed takes each rank's LOCAL portion
     x = put_global(np.ones((mesh.devices.size // jax.process_count(),),
                            np.float32),
@@ -163,12 +162,29 @@ class DataParallelTrainer:
 
     def eval_step(self, state, images, labels):
         if jax.process_count() > 1:
-            # eval is NOT sharded by the samplers — every process reads the
-            # full val/test batch, so the full array IS the local portion
-            # of a replicated global array (put_global handles assembly);
-            # sharding it would mis-declare the batch as 2x its size
-            images = put_global(images, self.replicated)
-            labels = put_global(labels, self.replicated)
+            # eval is NOT sharded by the samplers — every process reads
+            # the full val/test batch.  Shard it here: each process keeps
+            # only its contiguous row slice and contributes it as the
+            # local portion of a data-axis-sharded global batch, so each
+            # rank computes 1/K of the eval FLOPs and GSPMD's psum of the
+            # batch-summed metrics (ops/metrics.evaluate_outputs) yields
+            # the identical replicated totals the all-ranks-replicated
+            # path produced.  Batches that don't divide the data axis
+            # (the remainder batch of a split) fall back to replicated —
+            # slower, never wrong.
+            n = self.mesh.shape[DATA_AXIS]
+            k = jax.process_count()
+            b = images.shape[0]
+            if b % n == 0:
+                pi = jax.process_index()
+                lo, hi = pi * (b // k), (pi + 1) * (b // k)
+                images = put_global(np.asarray(images[lo:hi]),
+                                    self.batch_sharding)
+                labels = put_global(np.asarray(labels[lo:hi]),
+                                    self.batch_sharding)
+            else:
+                images = put_global(np.asarray(images), self.replicated)
+                labels = put_global(np.asarray(labels), self.replicated)
         else:
             images, labels = self.shard_batch((images, labels))
         return self._trainer.eval_step(self.on_mesh(state), images, labels)

@@ -62,6 +62,19 @@ class TrainCheckpointManager:
             # orbax refuses create=True with active_processes set
             os.makedirs(os.path.abspath(ckpt_dir), exist_ok=True)
             kw["create"] = False
+            # Async saves are UNSAFE in this per-rank-directory design:
+            # orbax's handler-awaitable signals (futures/synchronization.py)
+            # key on a process-LOCAL OperationIdGenerator counter that is
+            # NOT scoped by barrier_sync_key_prefix, and all ranks share
+            # one JAX coordination KV store — so rank A's
+            # ITEM_DIRECTORY_CREATION signal for ITS operation N releases
+            # rank B's async writer for B's unrelated operation N before
+            # B's mkdir ran (observed: FileNotFoundError on
+            # `metrics.orbax-checkpoint-tmp/metrics` whenever ranks drift
+            # out of save lockstep).  The synchronous path orders mkdir
+            # before handler writes within one thread, so foreign signals
+            # are harmless there.
+            use_async = False
         opts = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=lambda m: m.get(monitor, float("-inf")),

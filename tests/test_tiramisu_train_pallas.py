@@ -109,6 +109,44 @@ def test_grads_match_flax_nodropout(setup):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_grads_match_flax_nodropout_small():
+    """Unmarked (fast-CI) grads-vs-Flax gate at minimum size: one cheap
+    end-to-end parity case that exercises every rewritten kernel's VJP
+    (dense block, pool, transposed conv, classifier) so kernel
+    regressions cannot slip through `pytest -m "not slow"` (the full
+    ladder lives in the slow-marked tests above)."""
+    model = FCDenseNet(n_classes=4, down_blocks=(1,), up_blocks=(1,),
+                       bottleneck_layers=1, growth_rate=4,
+                       out_chans_first_conv=8, policy=F32_POLICY,
+                       dropout_rate=0.0)
+    variables = _init_with_stats(model, jax.random.key(2), (1, 8, 16, 3))
+    x = jax.random.normal(jax.random.key(3), (1, 8, 16, 3))
+
+    def loss_ref(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, rngs={"dropout": jax.random.key(0)},
+            mutable=["batch_stats"], use_softmax=False)
+        return jnp.mean(out ** 2)
+
+    def loss_tp(params):
+        out, _ = pallas_apply_train(
+            model, {"params": params,
+                    "batch_stats": variables["batch_stats"]},
+            x, jax.random.key(0), use_softmax=False, interpret=True)
+        return jnp.mean(out ** 2)
+
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    g_tp = jax.grad(loss_tp)(variables["params"])
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_tp = jax.tree_util.tree_leaves(g_tp)
+    assert len(flat_ref) == len(flat_tp)
+    for (path, a), b in zip(flat_ref, flat_tp):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_grads_match_with_dropout_vs_fast():
     """With dropout active the realizations coincide, so gradients must
     match the fast path leaf-for-leaf too."""
