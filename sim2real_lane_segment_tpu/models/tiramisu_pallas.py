@@ -123,7 +123,8 @@ def _pick_pack(bsz, p_img, c_total, c_in, growth, itemsize, with_td):
     def fits(k):
         p = k * p_img
         f_b = _ceil(c_total, 8) * p * itemsize
-        g_b = _ceil(max(9 * growth, 8), 8) * p * 4
+        # tap buffer carries 2 guard regions (<= 2*256 lanes) of zeros
+        g_b = _ceil(max(9 * growth, 8), 8) * (p + 512) * 4
         x_b = _ceil(c_in, 8) * p * itemsize
         tmp = LANE * p * (itemsize + 4)
         td_b = LANE * p * itemsize if with_td else 0
@@ -135,6 +136,22 @@ def _pick_pack(bsz, p_img, c_total, c_in, growth, itemsize, with_td):
     while bsz % (ips * 2) == 0 and fits(ips * 2):
         ips *= 2
     return ips
+
+
+def _lane_chunks(P, guard):
+    """Lane-axis chunking for the pipelined packed kernel: widths are
+    LANE multiples and >= guard (a tap's guard-wide read then spills
+    only into adjacent chunks); ~8 chunks when P affords them, one
+    otherwise."""
+    tgt = max(guard, _ceil(-(-P // 8), LANE))
+    chunks, lo = [], 0
+    while lo < P:
+        wd = min(tgt, P - lo)
+        if 0 < P - lo - wd < guard:
+            wd = P - lo   # merge a sub-guard tail into the last chunk
+        chunks.append((lo, wd))
+        lo += wd
+    return chunks
 
 
 # ---------------------------------------------------------------------------
@@ -204,6 +221,8 @@ def _packed_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
                 off += seg_chans[i]
         return cps
 
+    guard = _ceil(w + 2, LANE)
+
     @pl.when(b == 0)
     def _():
         if p_img > p_seg:
@@ -211,6 +230,13 @@ def _packed_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
             for k in range(ips):
                 x_ref[0:c_in, k * p_img + p_seg:(k + 1) * p_img] = (
                     jnp.zeros((c_in, p_img - p_seg), dtype))
+        # tap-buffer guard lanes: permanently zero, so chunked tap
+        # reductions read out-of-image zeros instead of wrapping (the
+        # lanes the old %P wrap reached were slot-gap zeros too)
+        nr = g_ref.shape[0]
+        g_ref[0:nr, 0:guard] = jnp.zeros((nr, guard), jnp.float32)
+        g_ref[0:nr, guard + P:guard + P + guard] = (
+            jnp.zeros((nr, guard), jnp.float32))
         for c in _copies(b):
             c.start()
 
@@ -233,39 +259,84 @@ def _packed_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
     mask_l = mask_v * (col != 0)
     mask_r = mask_v * (col != (w - 1))
 
-    # --- dense layers (identical math to _dense_block_kernel) ------------
-    for j in range(n):
-        c_j = c_in + j * g
-        # accumulate the K-chunk partials as VALUES (one g_ref write):
-        # no VMEM read-modify-write between chunks, and chunk k+1's
-        # BN->ReLU A-prep (VPU) carries no false dependency on chunk k's
-        # GEMM (MXU), so the scheduler can overlap the two units
+    # --- dense layers (identical math to _dense_block_kernel), software-
+    # pipelined along the lane (pixel) axis: each layer's GEMM and the
+    # 9-tap VPU reduction are split into lane chunks, and the reduction
+    # of chunk c is issued between the GEMMs of chunks c+2, c+3, ... —
+    # the reduction has no data dependency on them, so the MXU (GEMM)
+    # and VPU (rolls/masks/adds) overlap instead of serializing per
+    # layer.  The K loop is untouched (chunking K would add MXU passes).
+    chunks = _lane_chunks(P, guard)
+    C = len(chunks)
+
+    def gemm_chunk(j, c_j, lo, wd):
+        # one g_ref write per chunk; K-partials accumulate as values
         gacc = None
         for kc in range(0, c_j, LANE):
             ck = min(LANE, c_j - kc)
-            blk = f_ref[kc:kc + ck, :].astype(jnp.float32)
+            blk = f_ref[kc:kc + ck, lo:lo + wd].astype(jnp.float32)
             sc = scale_ref[kc:kc + ck, j:j + 1]
             sh = shift_ref[kc:kc + ck, j:j + 1]
-            a = (jnp.maximum(blk * sc + sh, 0.0) * mask_v).astype(dtype)
+            a = (jnp.maximum(blk * sc + sh, 0.0)
+                 * mask_v[:, lo:lo + wd]).astype(dtype)
             part = jnp.dot(wf_ref[j, :, kc:kc + ck], a,
                            preferred_element_type=jnp.float32)
             gacc = part if gacc is None else gacc + part
-        g_ref[:, :] = gacc
+        g_ref[:, guard + lo:guard + lo + wd] = gacc
+
+    def tap_chunk(j, c_j, lo, wd):
+        # wide read [lo - guard, lo + wd + guard) in global lanes —
+        # always in-bounds of the guarded buffer; rolls ≤ w+1 never
+        # wrap within it, and rolled-in guard/gap lanes are zero
+        wide = wd + 2 * guard
         acc = None
         for ky in range(3):
             for kx in range(3):
                 tap = ky * 3 + kx
-                gs = g_ref[tap * g:(tap + 1) * g, :]
+                gs = g_ref[tap * g:(tap + 1) * g, lo:lo + wide]
                 roll = (ky - 1) * w + (kx - 1)
                 if roll != 0:
-                    gs = pltpu.roll(gs, shift=(-roll) % P, axis=1)
+                    gs = pltpu.roll(gs, shift=(-roll) % wide, axis=1)
+                gs = gs[:, guard:guard + wd]
                 if kx == 0:
-                    gs = gs * mask_l
+                    gs = gs * mask_l[:, lo:lo + wd]
                 elif kx == 2:
-                    gs = gs * mask_r
+                    gs = gs * mask_r[:, lo:lo + wd]
                 acc = gs if acc is None else acc + gs
         y = acc + bias_ref[j, :][:, None]
-        f_ref[c_j:c_j + g, :] = y.astype(dtype)
+        f_ref[c_j:c_j + g, lo:lo + wd] = y.astype(dtype)
+
+    # gemm issue order (j, chunk); taps trail two issues behind.  The
+    # cross-layer lag is safe because layer j's gemm on chunk c reads
+    # y_{j-1} rows only at chunk c, whose tap ran two issues after
+    # gemm(j-1, c) — i.e. C-2 issues ago (C >= 5 also keeps the trailing
+    # taps' g_ref chunks disjoint from the next layer's first writes;
+    # smaller C drains taps at each layer boundary instead).
+    if C >= 5:
+        # global stream, taps 2 issues behind: tap(j, c) needs
+        # gemm(j, c+1) (guard-wide read), ran 1 issue earlier; gemm(j, c)
+        # needs tap(j-1, c), ran C-2 issues earlier; the <=2 chunks a new
+        # layer overwrites before the old layer's last taps drain are
+        # disjoint from the >=C-3 chunks those taps read
+        order = [(j, ci) for j in range(n) for ci in range(C)]
+        done = 0
+        for t, (j, ci) in enumerate(order):
+            gemm_chunk(j, c_in + j * g, *chunks[ci])
+            if done <= t - 2:
+                jp, cp = order[done]
+                tap_chunk(jp, c_in + jp * g, *chunks[cp])
+                done += 1
+        while done < len(order):
+            jp, cp = order[done]
+            tap_chunk(jp, c_in + jp * g, *chunks[cp])
+            done += 1
+    else:
+        # too few chunks to pipeline safely: all GEMMs, then all taps
+        for j in range(n):
+            for ci in range(C):
+                gemm_chunk(j, c_in + j * g, *chunks[ci])
+            for ci in range(C):
+                tap_chunk(j, c_in + j * g, *chunks[ci])
 
     if temp is None:
         outs = [pltpu.make_async_copy(
@@ -314,9 +385,9 @@ def _packed_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
     inv = 1.0 / jnp.maximum(jnp.sqrt(norm2), 1e-12)
     fn = (feats * inv).astype(dtype)
     u = jnp.dot(wct_ref[:, :], fn, preferred_element_type=jnp.float32)
-    g_ref[0:8, :] = (u + cb_ref[:, :]) * (1.0 / temp)
+    g_ref[0:8, guard:guard + P] = (u + cb_ref[:, :]) * (1.0 / temp)
     outs = [pltpu.make_async_copy(
-        g_ref.at[0:8, k * p_img:k * p_img + p_out],
+        g_ref.at[0:8, guard + k * p_img:guard + k * p_img + p_out],
         out_hbm.at[b * ips + k, :, :], sems.at[3]) for k in range(ips)]
     for o in outs:
         o.start()
@@ -620,7 +691,9 @@ def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
                 pl.BlockSpec(memory_space=pltpu.VMEM)] * len(extra_in),
             scratch_shapes=[
                 pltpu.VMEM((c_total, P), dtype),
-                pltpu.VMEM((max(9 * growth, 8), P), jnp.float32),
+                # + 2*guard zero lanes for the chunked tap reductions
+                pltpu.VMEM((max(9 * growth, 8),
+                            P + 2 * _ceil(w + 2, LANE)), jnp.float32),
                 pltpu.VMEM((c_in, P), dtype),
             ] + ([pltpu.VMEM((LANE, P), dtype)]
                  if transition is not None else []) + [

@@ -29,7 +29,8 @@ class RolloutBatch(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "height", "width", "tile_size",
-                                    "frame_skip", "distortion", "domain_rand"))
+                                    "frame_skip", "distortion", "domain_rand",
+                                    "procedural"))
 def expert_rollout(scene: SceneArrays, lane_arrays, key: jax.Array,
                    init_pos: jax.Array, init_angle: jax.Array, *,
                    tile_size: float, n_steps: int = 64,
