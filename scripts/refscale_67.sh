@@ -1,0 +1,28 @@
+#!/bin/bash
+# Reference-scale training recipe (VERDICT r02 item #4).
+#
+# The reference's actual recipe is batch 64 / 175 epochs on a ~2.3k-frame
+# simData tree for the supervised module, and batch 32 / 175 epochs for
+# MME from the baseline's weights (/root/reference/README.md:139,252).
+# Every earlier committed study row was ~300 frames x 40 epochs; this
+# runs the same one-command study machinery at the reference's scale:
+# 16 episodes x 144 steps = 2,304 frames per domain, FCDenseNet67.
+#
+# Run on the TPU chip (single process; the study is crash-resumable).
+set -e
+cd "$(dirname "$0")/.."
+W=${1:-/root/refscale_67}
+
+timeout 10800 python -u -m sim2real_lane_segment_tpu.cli.domain_study \
+  --workdir "$W" --arch 67 --epochs 175 --episodes 16 --steps 144 \
+  --batch_size 64 --device_cache --regimes baseline
+timeout 10800 python -u -m sim2real_lane_segment_tpu.cli.domain_study \
+  --workdir "$W" --arch 67 --epochs 175 --episodes 16 --steps 144 \
+  --batch_size 32 --device_cache --regimes mme
+
+OUT=artifacts/refscale_67
+mkdir -p "$OUT"
+cp "$W"/results/baseline/metrics.jsonl "$OUT"/baseline_metrics.jsonl
+cp "$W"/results/mme/metrics.jsonl "$OUT"/mme_metrics.jsonl
+cp "$W"/study_summary.json "$OUT"/study_summary.json
+echo "reference-scale logs copied to $OUT"
