@@ -166,6 +166,12 @@ def main(args=None) -> dict:
                         "test split — the bridge that lets the 65k-fps "
                         "serving student carry each adapted teacher's "
                         "accuracy (rows student_<regime> in the summary)")
+    p.add_argument("--distill_epochs", type=int, default=None,
+                   help="distillation budget per student (default: "
+                        "--epochs).  The round-3 40-epoch students were "
+                        "still climbing at their cutoff; the 30x-smaller "
+                        "student needs a longer soft-target budget than "
+                        "its teacher's supervised fit")
     p.add_argument("--force", action="store_true",
                    help="retrain regimes even if a finished result exists "
                         "in the workdir (default: resume — skip regimes "
@@ -424,15 +430,16 @@ def _distill_students(args, results, kw, regime_cache, save_summary,
         t_trainer = SupervisedTrainer(**kw())
         t_state = load_weights(teacher_path,
                                t_trainer.init_state(jax.random.key(0)))
+        d_epochs = args.distill_epochs or args.epochs
         student = DistillTrainer(
             teacher_model=t_trainer.model, teacher_params=t_state.params,
             teacher_batch_stats=t_state.batch_stats, num_cls=4, lr=args.lr,
-            augment=True)
+            augment=True, t_max=d_epochs)
         data = DM(data_path=root, batch_size=args.batch_size, seed=42,
                   load_into_memory=True, device_cache=regime_cache(sk))
         data.setup()
         s_best, _, _ = fit(student, student.init_state(jax.random.key(4)),
-                           data, max_epochs=args.epochs,
+                           data, max_epochs=d_epochs,
                            out_dir=f"results/{sk}", resume=not args.force)
         results[sk] = run_eval(student.eval_step, s_best,
                                target_test_batches())

@@ -49,7 +49,7 @@ class DistillTrainer:
                  lr_ratio: float = 1e3, temperature: float = 2.0,
                  alpha: float = 0.7, height: int = 120, width: int = 160,
                  augment: bool = True, policy: DTypePolicy = DEFAULT_POLICY,
-                 student_model=None):
+                 student_model=None, t_max: int = 25):
         self.teacher = teacher_model
         self.teacher_vars = {"params": teacher_params,
                              "batch_stats": teacher_batch_stats}
@@ -57,6 +57,7 @@ class DistillTrainer:
                                                     policy=policy)
         self.num_cls = num_cls
         self.lr, self.decay, self.lr_ratio = lr, decay, lr_ratio
+        self.t_max = t_max
         self.temperature, self.alpha = temperature, alpha
         self.augment = augment
         self.cfg = AugmentConfig(height=height, width=width,
@@ -72,7 +73,12 @@ class DistillTrainer:
                             opt_state=self.tx.init(variables["params"]))
 
     def lr_at(self, epoch: int) -> float:
-        return cosine_annealing(self.lr, self.lr / self.lr_ratio, 25, epoch)
+        # t_max should match the fit budget: torch-semantics cosine
+        # RISES back toward lr0 past t_max (schedules.cosine_annealing),
+        # which made epochs 26-40 of the round-2 40-epoch distillations
+        # train on an increasing lr (visibly noisy val trajectories)
+        return cosine_annealing(self.lr, self.lr / self.lr_ratio,
+                                self.t_max, epoch)
 
     def default_step_fn(self, state, batch, key, epoch):
         if len(batch) == 2 and isinstance(batch[0], tuple):
