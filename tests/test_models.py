@@ -89,14 +89,20 @@ def test_feature_extractor_l2_normalized():
 
 
 def test_train_mode_runs_with_dropout_and_bn():
-    model = small_fcdensenet()
-    x0 = jnp.zeros((1, 48, 64, 3))
+    # smallest config that still has a skip-concat level: the train-mode
+    # semantics (dropout + batch-stat BN) don't depend on depth/width,
+    # and the deeper ladders run under the slow mark / parity gates
+    from sim2real_lane_segment_tpu.models.tiramisu import FCDenseNet
+    model = FCDenseNet(n_classes=4, down_blocks=(2, 2), up_blocks=(2, 2),
+                       bottleneck_layers=2, growth_rate=4,
+                       out_chans_first_conv=8, policy=F32_POLICY)
+    x0 = jnp.zeros((1, 24, 32, 3))
     variables = model.init(jax.random.key(0), x0)
-    x = jax.random.uniform(jax.random.key(1), (2, 48, 64, 3))
+    x = jax.random.uniform(jax.random.key(1), (2, 24, 32, 3))
     out, mutated = model.apply(variables, x, train=True,
                                rngs={"dropout": jax.random.key(2)},
                                mutable=["batch_stats"])
-    assert out.shape == (2, 48, 64, 4)
+    assert out.shape == (2, 24, 32, 4)
     assert "batch_stats" in mutated
     # running stats actually moved away from init
     leaves = jax.tree_util.tree_leaves(mutated["batch_stats"])

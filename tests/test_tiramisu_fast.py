@@ -176,11 +176,17 @@ def test_fast_train_with_dropout_runs_and_updates_stats():
     assert all(moved)
 
 
+@pytest.mark.slow
 def test_fast_train_reverse_features_grads_match_flax_adversarial():
     """grad_reverse applied per segment before the fused norm+classifier
     head must reproduce the flax adversarial path's gradients (MME phase
     G, mme.py _forward_adversarial) — gr is a linear identity, so it
-    commutes through the (deterministic) normalization."""
+    commutes through the (deterministic) normalization.
+
+    Slow-marked (two full grad-graph compiles, the heaviest test in the
+    fast set): fast CI keeps step-level fast_train coverage via
+    test_matches_fast_train_with_dropout_exactly and the pallas kernel
+    VJP gates; `make test` runs this gate on merge."""
     from sim2real_lane_segment_tpu.models.tiramisu_fast import \
         fast_apply_train
     from sim2real_lane_segment_tpu.train.losses import adentropy
