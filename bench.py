@@ -6,9 +6,14 @@ real-domain IoU (BASELINE.json; the torch reference ran batch-1 per-frame
 inference, makeDemoVideo.py:15-47).
 
 Measures the framework's SERVING model, LaneNetLite — the distilled
-student that matches/beats the FCDenseNet67 teacher's IoU (teacher 86.5
-vs student 88.2 test IoU on generated sim data, RESULTS.md) at ~30x its
-speed.  Set BENCH_MODEL=fcdensenet67 to measure the teacher instead,
+student, ~30x faster than the FCDenseNet67 teacher.  Accuracy carry is
+per-regime (RESULTS.md round-3 distillation table): on the source
+domain the student beats the teacher (88.2 vs 86.5 test IoU); with the
+round-3 target-appearance KD it also beats the teacher on every
+ADAPTED sim2real regime measured (S&T +3.4, HM +2.3, MME +0.4 target
+IoU; CycleGAN leg queued), while the source-only baseline student
+gives back 9.9 IoU (no target frames exist to distill on there).
+Set BENCH_MODEL=fcdensenet67 to measure the teacher instead,
 served through the fused-Pallas forward (models/tiramisu_pallas.py).
 
 Measurement harness: the dev-environment TPU is driven through a relay

@@ -442,6 +442,85 @@ def test_fit_resume_continues_from_checkpoint(tmp_path, rng):
     assert iou3 >= iou1 - 1e-6
 
 
+@pytest.mark.slow
+def test_fit_resume_trajectory_matches_uninterrupted(tmp_path, rng):
+    """Resume-fidelity gate (VERDICT r03 weak #3): a run killed MID-EPOCH
+    and resumed must reproduce the uninterrupted run's training math
+    exactly — same per-epoch val metrics, bitwise-equal final weights.
+
+    Why this should hold by construction: every epoch's randomness is
+    ``fold_in(key(seed), epoch)`` (loop.py), samplers are pure functions
+    of (seed, epoch) (samplers.py), and the latest-channel checkpoint
+    restores the FULL train state (params + opt moments + BN stats) at
+    an epoch boundary, so a resumed run replays the interrupted epoch
+    with identical inputs and keys.  The one permitted divergence is the
+    metrics.jsonl *step axis*: global_step restarts at the last logged
+    step, so a mid-epoch crash's partial train logs shift subsequent
+    step indices (logging only — no math reads global_step).  Values
+    are compared per epoch, not per step index.
+    """
+    import json
+    from sim2real_lane_segment_tpu.data.modules import SimulatorDataModule
+    from sim2real_lane_segment_tpu.train import loop
+
+    root = make_sim_tree(tmp_path, rng)
+    dm = SimulatorDataModule(data_path=root, batch_size=4)
+    dm.setup()
+    epochs = 4
+
+    def val_rows(out_dir):
+        with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+            return [(j["val/iou"], j["val/loss"], j["val/acc"])
+                    for j in map(json.loads, f) if "val/iou" in j]
+
+    # A: uninterrupted, explicit step fn so both runs take the same
+    # (per-batch) path — scan-vs-per-batch parity has its own gate
+    tr = small_trainer()
+    full_dir = str(tmp_path / "full")
+    s_full, iou_full, _ = loop.fit(
+        tr, tr.init_state(jax.random.key(0)), dm, max_epochs=epochs,
+        out_dir=full_dir, log_every=1, train_step_fn=tr.default_step_fn)
+
+    # B: identical recipe, killed by an uncaught error mid-epoch 2 (the
+    # third epoch) — the non-transient raise propagates like a process
+    # death; checkpoints hold epoch 1, the crashed epoch's partial train
+    # logs are already in metrics.jsonl
+    res_dir = str(tmp_path / "resumed")
+    tr2 = small_trainer()
+    calls = {"e2": 0}
+
+    def dying_step(state, batch, key, epoch):
+        if epoch == 2:
+            calls["e2"] += 1
+            if calls["e2"] == 2:  # mid-epoch: step 1 already ran and logged
+                raise RuntimeError(
+                    "simulated SIGKILL: process died mid-epoch")
+        return tr2.default_step_fn(state, batch, key, epoch)
+
+    with pytest.raises(RuntimeError, match="simulated SIGKILL"):
+        loop.fit(tr2, tr2.init_state(jax.random.key(0)), dm,
+                 max_epochs=epochs, out_dir=res_dir, log_every=1,
+                 train_step_fn=dying_step)
+    # resume from the wreckage: fresh process == fresh trainer + a
+    # decoy init key, all real state must come from the checkpoints
+    tr3 = small_trainer()
+    s_res, iou_res, _ = loop.fit(
+        tr3, tr3.init_state(jax.random.key(99)), dm, max_epochs=epochs,
+        out_dir=res_dir, resume=True, log_every=1,
+        train_step_fn=tr3.default_step_fn)
+
+    assert iou_res == pytest.approx(iou_full, abs=1e-6)
+    full_vals = val_rows(full_dir)
+    res_vals = val_rows(res_dir)
+    # resumed log = epochs 0,1 + (partial epoch 2: no val) + epochs 2,3
+    assert len(full_vals) == epochs and len(res_vals) == epochs
+    np.testing.assert_allclose(np.asarray(res_vals), np.asarray(full_vals),
+                               rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_background_batches_releases_producer_on_abandon():
     import threading
     import time as _time
