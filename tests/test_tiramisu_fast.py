@@ -176,6 +176,46 @@ def test_fast_train_with_dropout_runs_and_updates_stats():
     assert all(moved)
 
 
+def test_fast_train_reverse_features_grads_match_flax_small():
+    """Unmarked (fast-CI) adversarial-gradient gate at minimum size: the
+    slow-marked gate below and the pallas reverse_features gate are both
+    deselected under `-m "not slow"`, so without this case an MME
+    grad_reverse regression would only surface at merge (ADVICE r03).
+    One down block at 8x16 keeps both grad-graph compiles cheap."""
+    from sim2real_lane_segment_tpu.models.tiramisu_fast import \
+        fast_apply_train
+    from sim2real_lane_segment_tpu.train.losses import adentropy
+    from sim2real_lane_segment_tpu.train.mme import MMETrainer
+
+    model = FCDenseNet(n_classes=4, down_blocks=(1,), up_blocks=(1,),
+                       bottleneck_layers=1, growth_rate=4,
+                       out_chans_first_conv=8, policy=F32_POLICY,
+                       dropout_rate=0.0)
+    variables = _init_with_stats(model, jax.random.key(12), (2, 8, 16, 3))
+    x = jax.random.normal(jax.random.key(13), (2, 8, 16, 3))
+    tr = MMETrainer(num_cls=4, height=8, width=16, augment=False,
+                    model=model)
+
+    def loss_flax(params):
+        probs, _ = tr._forward_adversarial(
+            params, variables["batch_stats"], x, jax.random.key(0))
+        return adentropy(probs, 0.1)
+
+    def loss_fast(params):
+        probs, _ = fast_apply_train(
+            model, {"params": params,
+                    "batch_stats": variables["batch_stats"]},
+            x, jax.random.key(0), reverse_features=True)
+        return adentropy(probs, 0.1)
+
+    g_flax = jax.grad(loss_flax)(variables["params"])
+    g_fast = jax.grad(loss_fast)(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                    jax.tree_util.tree_leaves(g_flax)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-3)
+
+
 @pytest.mark.slow
 def test_fast_train_reverse_features_grads_match_flax_adversarial():
     """grad_reverse applied per segment before the fused norm+classifier

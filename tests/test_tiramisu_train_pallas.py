@@ -152,9 +152,12 @@ def test_grads_match_with_dropout_vs_fast():
     match the fast path leaf-for-leaf too.  Minimum size that still
     threads a dropout mask through every kernel site (the multi-level
     ladder runs under the slow mark) — this and the nodropout gate above
-    are the two fast-CI kernel-VJP gates, so both stay cheap."""
+    are the two fast-CI kernel-VJP gates, so both stay cheap.
+    bottleneck_layers=2 keeps one MULTI-layer dense block in the dropout
+    VJP path (ADVICE r03: a single-layer block never exercises the
+    dropout gradient across the intra-block concat)."""
     model = FCDenseNet(n_classes=4, down_blocks=(1,), up_blocks=(1,),
-                       bottleneck_layers=1, growth_rate=4,
+                       bottleneck_layers=2, growth_rate=4,
                        out_chans_first_conv=8, policy=F32_POLICY,
                        dropout_rate=0.2)
     variables = _init_with_stats(model, jax.random.key(7), (2, 8, 16, 3))
