@@ -155,13 +155,16 @@ def test_grads_match_with_dropout_vs_fast():
     are the two fast-CI kernel-VJP gates, so both stay cheap.
     bottleneck_layers=2 keeps one MULTI-layer dense block in the dropout
     VJP path (ADVICE r03: a single-layer block never exercises the
-    dropout gradient across the intra-block concat)."""
+    dropout gradient across the intra-block concat); batch 1 offsets the
+    extra layer's interpret-mode cost — dropout2d masks are per
+    (sample, channel), so one sample still threads a mask through every
+    kernel site."""
     model = FCDenseNet(n_classes=4, down_blocks=(1,), up_blocks=(1,),
                        bottleneck_layers=2, growth_rate=4,
                        out_chans_first_conv=8, policy=F32_POLICY,
                        dropout_rate=0.2)
-    variables = _init_with_stats(model, jax.random.key(7), (2, 8, 16, 3))
-    x = jax.random.normal(jax.random.key(8), (2, 8, 16, 3))
+    variables = _init_with_stats(model, jax.random.key(7), (1, 8, 16, 3))
+    x = jax.random.normal(jax.random.key(8), (1, 8, 16, 3))
 
     def loss_fast(params):
         out, _ = fast_apply_train(
