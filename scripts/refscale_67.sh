@@ -9,14 +9,28 @@
 # 16 episodes x 144 steps = 2,304 frames per domain, FCDenseNet67.
 #
 # Run on the TPU chip (single process; the study is crash-resumable).
-set -e
+# The dev chip is shared: co-tenant HBM spikes can kill a fit even after
+# the in-process retries/relief valve (observed round 4: a 16-byte PRNG
+# split failed RESOURCE_EXHAUSTED) — so each study command is retried
+# here with a backoff, resuming from its own checkpoints.
 cd "$(dirname "$0")/.."
 W=${1:-/root/refscale_67}
 
-timeout 10800 python -u -m sim2real_lane_segment_tpu.cli.domain_study \
+run_with_resume() {
+  for attempt in 1 2 3 4 5; do
+    timeout 10800 python -u -m sim2real_lane_segment_tpu.cli.domain_study "$@" \
+      && return 0
+    echo "refscale: attempt $attempt failed (rc=$?); resuming in $((attempt*120))s" >&2
+    sleep $((attempt*120))
+  done
+  return 1
+}
+
+set -e
+run_with_resume \
   --workdir "$W" --arch 67 --epochs 175 --episodes 16 --steps 144 \
   --batch_size 64 --device_cache --regimes baseline
-timeout 10800 python -u -m sim2real_lane_segment_tpu.cli.domain_study \
+run_with_resume \
   --workdir "$W" --arch 67 --epochs 175 --episodes 16 --steps 144 \
   --batch_size 32 --device_cache --regimes mme
 
