@@ -15,6 +15,12 @@
 # here with a backoff, resuming from its own checkpoints.
 cd "$(dirname "$0")/.."
 W=${1:-/root/refscale_67}
+# ARCH defaults to the rematerialized 67 ("67r": identical parameters and
+# math to the 67 — remat recomputes block activations in backward), whose
+# small HBM footprint rides out the shared chip's co-tenant pressure
+# waves; observed round 4: the plain 67's b64 activations OOMed through
+# every retry ladder during multi-minute waves.
+ARCH=${2:-67r}
 
 run_with_resume() {
   for attempt in 1 2 3 4 5; do
@@ -28,10 +34,10 @@ run_with_resume() {
 
 set -e
 run_with_resume \
-  --workdir "$W" --arch 67 --epochs 175 --episodes 16 --steps 144 \
+  --workdir "$W" --arch "$ARCH" --epochs 175 --episodes 16 --steps 144 \
   --batch_size 64 --device_cache --regimes baseline
 run_with_resume \
-  --workdir "$W" --arch 67 --epochs 175 --episodes 16 --steps 144 \
+  --workdir "$W" --arch "$ARCH" --epochs 175 --episodes 16 --steps 144 \
   --batch_size 32 --device_cache --regimes mme
 
 OUT=artifacts/refscale_67
