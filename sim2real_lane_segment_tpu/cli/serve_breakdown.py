@@ -64,6 +64,15 @@ def main(args=None) -> dict:
                    help="chip bf16 peak (v5e: 197 TFLOP/s)")
     p.add_argument("--peak_gbps", type=float, default=819.0,
                    help="chip HBM bandwidth (v5e: 819 GB/s)")
+    p.add_argument("--ablate", default=None, metavar="SUBSTR",
+                   help="empirical VPU-floor decomposition: for each "
+                        "recorded level whose name contains SUBSTR, also "
+                        "time the kernel with (a) the 9-tap reduction "
+                        "replaced by a single-tap copy ('no_taps') and "
+                        "(b) the per-layer BN/ReLU/mask feed removed "
+                        "('no_prep') — wrong math, right timing; the "
+                        "deltas attribute each level's time to the two "
+                        "named VPU costs (VERDICT r03 item #2)")
     args = p.parse_args(args)
     common.setup_runtime()
 
@@ -126,10 +135,19 @@ def main(args=None) -> dict:
         bytes_hbm = (c_in + out_c) * pix * itemsize * args.batch_size
         if kw.get("transition") is not None:
             bytes_hbm += (c_in + n * g) * pix * itemsize * args.batch_size
+        name = (f"{h}x{w} c_in={c_in} n={n}"
+                + (" +TD" if kw.get("transition") is not None else "")
+                + (" +cls" if kw.get("classifier") is not None else ""))
+        abl = {}
+        if args.ablate is not None and args.ablate in name:
+            for mode in ("no_taps", "no_prep"):
+                fn_a = functools.partial(real, folded=folded,
+                                         ablate=mode, **kw)
+                abl[mode + "_ms"] = round(_time_scan(
+                    lambda *s: fn_a(list(s)), tuple(segments)) * 1e3, 3)
         rows.append({
-            "level": f"{h}x{w} c_in={c_in} n={n}"
-                     + (" +TD" if kw.get("transition") is not None else "")
-                     + (" +cls" if kw.get("classifier") is not None else ""),
+            "level": name,
+            **abl,
             "ms": round(dt * 1e3, 3),
             "gflop": round(flops / 1e9, 1),
             "tflops": round(flops / dt / 1e12, 1),
@@ -151,6 +169,13 @@ def main(args=None) -> dict:
         print(f"{r['level']:36s} {r['ms']:8.3f} {r['gflop']:8.1f} "
               f"{r['tflops']:6.1f} {r['mxu_pct']:5.1f} {r['hbm_gb_s']:9.1f} "
               f"{r['hbm_pct']:5.1f}")
+        if "no_taps_ms" in r:
+            taps = r["ms"] - r["no_taps_ms"]
+            prep = r["ms"] - r["no_prep_ms"]
+            print(f"{'  ablations: 9-tap reduction':36s} {taps:8.3f}   "
+                  f"({100 * taps / r['ms']:.0f}% of level)")
+            print(f"{'  ablations: BN/ReLU/mask feed':36s} {prep:8.3f}   "
+                  f"({100 * prep / r['ms']:.0f}% of level)")
     glue_ms = dt_full * 1e3 - t_sum * 1e3
     print(f"{'sum of fused levels':36s} {t_sum*1e3:8.3f}")
     print(f"{'full forward (incl. XLA glue)':36s} {dt_full*1e3:8.3f}   "

@@ -160,7 +160,7 @@ def _lane_chunks(P, guard):
 
 def _packed_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
                          p_img, p_seg, p_out, ips, dtype, temp=None,
-                         with_td=False):
+                         with_td=False, ablate=None):
     """Whole-image variant: each grid step processes ``ips`` complete
     images packed along the lane axis, one image per ``p_img``-lane slot.
 
@@ -275,16 +275,30 @@ def _packed_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
         for kc in range(0, c_j, LANE):
             ck = min(LANE, c_j - kc)
             blk = f_ref[kc:kc + ck, lo:lo + wd].astype(jnp.float32)
-            sc = scale_ref[kc:kc + ck, j:j + 1]
-            sh = shift_ref[kc:kc + ck, j:j + 1]
-            a = (jnp.maximum(blk * sc + sh, 0.0)
-                 * mask_v[:, lo:lo + wd]).astype(dtype)
+            if ablate == "no_prep":
+                # DIAGNOSTIC ONLY (cli/serve_breakdown --ablate): skip the
+                # per-layer BN/ReLU/mask feed — wrong math, right timing;
+                # the delta vs the real kernel is the feed's VPU cost
+                a = blk.astype(dtype)
+            else:
+                sc = scale_ref[kc:kc + ck, j:j + 1]
+                sh = shift_ref[kc:kc + ck, j:j + 1]
+                a = (jnp.maximum(blk * sc + sh, 0.0)
+                     * mask_v[:, lo:lo + wd]).astype(dtype)
             part = jnp.dot(wf_ref[j, :, kc:kc + ck], a,
                            preferred_element_type=jnp.float32)
             gacc = part if gacc is None else gacc + part
         g_ref[:, guard + lo:guard + lo + wd] = gacc
 
+    def tap_chunk_ablated(j, c_j, lo, wd):
+        # DIAGNOSTIC ONLY: one tap, no rolls/masks/adds — the delta vs
+        # the real 9-tap reduction is the tap chain's VPU cost
+        y = g_ref[4 * g:5 * g, lo:lo + wd] + bias_ref[j, :][:, None]
+        f_ref[c_j:c_j + g, lo:lo + wd] = y.astype(dtype)
+
     def tap_chunk(j, c_j, lo, wd):
+        if ablate == "no_taps":
+            return tap_chunk_ablated(j, c_j, lo, wd)
         # wide read [lo - guard, lo + wd + guard) in global lanes —
         # always in-bounds of the guarded buffer; rolls ≤ w+1 never
         # wrap within it, and rolled-in guard/gap lanes are zero
@@ -615,7 +629,7 @@ def _dense_block_kernel(*refs, n_layers, growth, seg_chans, c_lo, w, h,
 
 def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
                          tile_rows=None, interpret=False, classifier=None,
-                         transition=None):
+                         transition=None, ablate=None):
     """Run one DenseBlock (inference) as a fused Pallas kernel,
     channel-major.
 
@@ -683,7 +697,7 @@ def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
             _packed_block_kernel, n_layers=n_layers, growth=growth,
             seg_chans=seg_chans, c_lo=c_lo, w=w, h=h, p_img=p_img,
             p_seg=p_pad, p_out=p_pad, ips=ips, dtype=dtype, temp=temp,
-            with_td=transition is not None)
+            with_td=transition is not None, ablate=ablate)
         return pl.pallas_call(
             kernel,
             grid=(bsz // ips,),
@@ -702,6 +716,7 @@ def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
             **common,
         )(*segments, *extra_in)
 
+    assert ablate is None, "ablate is a packed-path-only diagnostic"
     if tile_rows is None:
         tile_rows = _pick_tile_rows(h, w, c_total, growth, n_layers,
                                     itemsize, align)

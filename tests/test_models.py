@@ -67,8 +67,10 @@ def test_fcdensenet_forward_shape_and_softmax(x120):
     # 120x160 through 3 pool levels: 120->60->30->15 and back up — the
     # same odd-size center-crop bookkeeping as the full model.
     model = small_fcdensenet()
-    variables = model.init(jax.random.key(0), x120)
-    out = model.apply(variables, x120)
+    # jitted init/apply: one cacheable executable instead of eager
+    # per-primitive dispatch (conftest persistent cache)
+    variables = jax.jit(model.init)(jax.random.key(0), x120)
+    out = jax.jit(model.apply)(variables, x120)
     assert out.shape == (1, 120, 160, 4)
     # softmax head: sums to 1 per pixel (reference torch out.sum() == H*W
     # == 19200.0, measured; verified for the full 67 on TPU in bench)
@@ -82,8 +84,8 @@ def test_feature_extractor_l2_normalized():
                                       out_chans_first_conv=12,
                                       policy=F32_POLICY)
     x = jax.random.uniform(jax.random.key(1), (1, 48, 64, 3))
-    v = base.init(jax.random.key(0), x)
-    feats = base.apply(v, x)
+    v = jax.jit(base.init)(jax.random.key(0), x)
+    feats = jax.jit(base.apply)(v, x)
     norms = np.asarray(jnp.linalg.norm(feats, axis=-1))
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
 
@@ -97,11 +99,13 @@ def test_train_mode_runs_with_dropout_and_bn():
                        bottleneck_layers=2, growth_rate=4,
                        out_chans_first_conv=8, policy=F32_POLICY)
     x0 = jnp.zeros((1, 24, 32, 3))
-    variables = model.init(jax.random.key(0), x0)
+    variables = jax.jit(model.init)(jax.random.key(0), x0)
     x = jax.random.uniform(jax.random.key(1), (2, 24, 32, 3))
-    out, mutated = model.apply(variables, x, train=True,
-                               rngs={"dropout": jax.random.key(2)},
-                               mutable=["batch_stats"])
+    out, mutated = jax.jit(
+        lambda v, xx, k: model.apply(v, xx, train=True,
+                                     rngs={"dropout": k},
+                                     mutable=["batch_stats"]))(
+        variables, x, jax.random.key(2))
     assert out.shape == (2, 24, 32, 4)
     assert "batch_stats" in mutated
     # running stats actually moved away from init

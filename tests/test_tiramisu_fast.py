@@ -208,8 +208,9 @@ def test_fast_train_reverse_features_grads_match_flax_small():
             x, jax.random.key(0), reverse_features=True)
         return adentropy(probs, 0.1)
 
-    g_flax = jax.grad(loss_flax)(variables["params"])
-    g_fast = jax.grad(loss_fast)(variables["params"])
+    # jit both grads: eager dispatch is slower and uncacheable (conftest)
+    g_flax = jax.jit(jax.grad(loss_flax))(variables["params"])
+    g_fast = jax.jit(jax.grad(loss_fast))(variables["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g_fast),
                     jax.tree_util.tree_leaves(g_flax)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

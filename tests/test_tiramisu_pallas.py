@@ -93,9 +93,11 @@ def test_pallas_apply_matches_standard(setup):
 
 def test_pallas_apply_softmax_and_argmax(setup):
     model, variables, x = setup
-    ref = model.apply(variables, x, train=False, use_softmax=True)
-    out = pallas_apply(model, variables, x, use_softmax=True,
-                       interpret=True)
+    # jitted: one cacheable executable per side (conftest persistent cache)
+    ref = jax.jit(lambda v, xx: model.apply(
+        v, xx, train=False, use_softmax=True))(variables, x)
+    out = jax.jit(lambda v, xx: pallas_apply(
+        model, v, xx, use_softmax=True, interpret=True))(variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
     np.testing.assert_array_equal(np.argmax(np.asarray(out), -1),
                                   np.argmax(np.asarray(ref), -1))
@@ -124,9 +126,10 @@ def test_pallas_apply_wide_classifier_kernel():
                        policy=F32_POLICY)
     variables = _init_with_stats(model, jax.random.key(6), (1, 16, 16, 3))
     x = jax.random.normal(jax.random.key(7), (1, 16, 16, 3))
-    ref = model.apply(variables, x, train=False, use_softmax=False)
-    out = pallas_apply(model, variables, x, use_softmax=False,
-                       interpret=True)
+    ref = jax.jit(lambda v, xx: model.apply(
+        v, xx, train=False, use_softmax=False))(variables, x)
+    out = jax.jit(lambda v, xx: pallas_apply(
+        model, v, xx, use_softmax=False, interpret=True))(variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 

@@ -68,10 +68,11 @@ def test_matches_fast_train_with_dropout_exactly():
     model = tiny_model()  # dropout 0.2
     variables = _init_with_stats(model, jax.random.key(4), (2, 24, 32, 3))
     x = jax.random.normal(jax.random.key(5), (2, 24, 32, 3))
-    ref, ref_bs = fast_apply_train(model, variables, x, jax.random.key(6),
-                                   use_softmax=False)
-    out, new_bs = pallas_apply_train(model, variables, x, jax.random.key(6),
-                                     use_softmax=False, interpret=True)
+    ref, ref_bs = jax.jit(lambda v, xx, k: fast_apply_train(
+        model, v, xx, k, use_softmax=False))(variables, x, jax.random.key(6))
+    out, new_bs = jax.jit(lambda v, xx, k: pallas_apply_train(
+        model, v, xx, k, use_softmax=False, interpret=True))(
+        variables, x, jax.random.key(6))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
     for a, b in zip(jax.tree_util.tree_leaves(new_bs),
@@ -136,8 +137,10 @@ def test_grads_match_flax_nodropout_small():
             x, jax.random.key(0), use_softmax=False, interpret=True)
         return jnp.mean(out ** 2)
 
-    g_ref = jax.grad(loss_ref)(variables["params"])
-    g_tp = jax.grad(loss_tp)(variables["params"])
+    # jit the whole grad: eager per-primitive dispatch is ~2x slower and
+    # cannot hit the persistent compile cache (conftest)
+    g_ref = jax.jit(jax.grad(loss_ref))(variables["params"])
+    g_tp = jax.jit(jax.grad(loss_tp))(variables["params"])
     flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
     flat_tp = jax.tree_util.tree_leaves(g_tp)
     assert len(flat_ref) == len(flat_tp)
@@ -180,8 +183,8 @@ def test_grads_match_with_dropout_vs_fast():
             x, jax.random.key(9), use_softmax=False, interpret=True)
         return jnp.mean(out ** 2)
 
-    g_fast = jax.grad(loss_fast)(variables["params"])
-    g_tp = jax.grad(loss_tp)(variables["params"])
+    g_fast = jax.jit(jax.grad(loss_fast))(variables["params"])
+    g_tp = jax.jit(jax.grad(loss_tp))(variables["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g_fast),
                     jax.tree_util.tree_leaves(g_tp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
