@@ -7,14 +7,16 @@ inference, makeDemoVideo.py:15-47).
 
 Measures the framework's SERVING model, LaneNetLite — the distilled
 student, ~30x faster than the FCDenseNet67 teacher.  Accuracy carry is
-per-regime (RESULTS.md round-3 distillation table): on the source
-domain the student beats the teacher (88.2 vs 86.5 test IoU); with the
-round-3 target-appearance KD it also beats the teacher on every
-ADAPTED sim2real regime measured (S&T +3.4, HM +2.3, MME +0.4 target
-IoU; CycleGAN leg queued), while the source-only baseline student
-gives back 9.9 IoU (no target frames exist to distill on there).
-Set BENCH_MODEL=fcdensenet67 to measure the teacher instead,
-served through the fused-Pallas forward (models/tiramisu_pallas.py).
+per-regime and session-dependent at the toy study scale (RESULTS.md
+round-3/round-4 distillation tables): on the source domain the student
+beats the teacher (88.2 vs 86.5 test IoU); on the adapted sim2real
+regimes the target-appearance KD student retains the bulk of the
+teacher's target IoU (round-4 full 5-regime table: carry −6.7..+1.9;
+round-3 session measured +0.4..+3.4 on the same recipe), while the
+source-only baseline student gives back ~10-13 IoU (no target frames
+exist to distill on there).  Set BENCH_MODEL=fcdensenet67 to measure
+the teacher instead, served through the fused-Pallas forward
+(models/tiramisu_pallas.py).
 
 Measurement harness: the dev-environment TPU is driven through a relay
 whose per-dispatch overhead is ~1.3 ms — comparable to the network's
