@@ -28,10 +28,18 @@ from . import common
 def _time_scan(fn, args, k=8, iters=4):
     """Mean seconds per fn(*args) via a K-pass on-device scan.
 
-    Each pass's inputs are perturbed by a carry-derived epsilon
-    (runtime-zero, not compile-time provable) so XLA can neither hoist
-    the loop-invariant computation out of the scan nor CSE the passes;
-    the carry also consumes each output.
+    Each pass's inputs are rolled along axis 0 by a carry-derived
+    runtime shift (0 or 1 — never provable at compile time, for ANY
+    input dtype), so XLA can neither hoist the loop-invariant
+    computation out of the scan nor CSE the passes; the carry also
+    consumes each output.  Consumption must cover EVERY output element:
+    reading one element (the original ``leaf[0]``) lets XLA dead-code
+    the rest — slicing a sliceable computation down to one dot-row, and
+    deleting a discarded backward entirely (train_breakdown's 234 ms
+    train step read as 67 ms of forward-only, its consumers as 0.005 ms
+    at 18,000% MXU; opaque pallas_call levels were immune, which is why
+    serve_breakdown's numbers cross-checked against bench.py anyway).
+    A full jnp.sum per leaf forces the whole computation for ~free.
     """
     import jax
     import jax.numpy as jnp
@@ -39,20 +47,28 @@ def _time_scan(fn, args, k=8, iters=4):
     @jax.jit
     def loop(xs):
         def body(c, _):
-            eps = c * np.float32(1e-30)   # runtime ~0, not foldable
+            sh = c.astype(jnp.int32) & 1  # runtime 0, not foldable
             xs2 = jax.tree_util.tree_map(
-                lambda a: a + eps.astype(a.dtype), xs)
+                lambda a: jnp.roll(a, sh, axis=0) if a.ndim else a, xs)
             out = fn(*xs2)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return c + leaf.reshape(-1)[0].astype(jnp.float32), None
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree_util.tree_leaves(out))
+            return c + tot * np.float32(1e-30), None
         return jax.lax.scan(body, np.float32(0.0), None, length=k)[0]
 
-    loop(args).block_until_ready()
+    # close every timing window with a VALUE fetch, not
+    # block_until_ready(): under the dev relay's async mode
+    # block_until_ready returns before the work runs (measured: a
+    # 2.8 ms matmul scan "completing" in 5 us), while a scalar fetch
+    # always forces the full roundtrip in both relay modes.
+    float(loop(args))  # warmup/compile
     t0 = time.perf_counter()
+    s = np.float32(0.0)
     for _ in range(iters):
-        s = loop(args)
-    s.block_until_ready()
-    return (time.perf_counter() - t0) / (iters * k)
+        s += float(loop(args))
+    dt = (time.perf_counter() - t0) / (iters * k)
+    assert np.isfinite(s)
+    return dt
 
 
 def main(args=None) -> dict:

@@ -136,10 +136,19 @@ def main(args=None) -> dict:
     def full_step(im, lb):
         st, logs = trainer.train_step(state, im, lb, jax.random.key(2),
                                       jnp.float32(1e-3))
-        return logs["tr_loss"]
+        # return the updated state too: _time_scan's consumption covers
+        # every output leaf, so the backward + optimizer apply cannot be
+        # dead-coded (returning only the loss deleted them — the
+        # "67 ms" b128 step of the unfixed harness was forward-only)
+        return logs["tr_loss"], st.params
 
     dt_step = _time_scan(full_step, (imgs, lbls), k=4)
 
+    print("\nNOTE: per-consumer rows are floor-limited through the dev "
+          "relay (~3.5 ms synchronous roundtrip per standalone "
+          "measurement) — only deltas well above that floor are "
+          "meaningful; the full fwd / fwd+bwd / train_step lines are "
+          "the trustworthy decomposition.")
     print(f"\n{'consumer':34s} {'fwd ms':>8s} {'vjp ms':>8s} "
           f"{'GFLOP':>7s} {'fwdMXU%':>7s}")
     for r in rows:
