@@ -1,5 +1,6 @@
 #!/bin/bash
-# Reference-scale training recipe (VERDICT r02 item #4).
+# Reference-scale training recipe (VERDICT r02 item #4; extended to the
+# full 5-regime + 5-student matrix in round 5 per VERDICT r04 item #1).
 #
 # The reference's actual recipe is batch 64 / 175 epochs on a ~2.3k-frame
 # simData tree for the supervised module, and batch 32 / 175 epochs for
@@ -23,26 +24,50 @@ W=${1:-/root/refscale_67}
 ARCH=${2:-67r}
 
 run_with_resume() {
-  for attempt in 1 2 3 4 5; do
+  local attempt
+  for attempt in 1 2 3 4; do
     timeout 10800 python -u -m sim2real_lane_segment_tpu.cli.domain_study "$@" \
       && return 0
     echo "refscale: attempt $attempt failed (rc=$?); resuming in $((attempt*120))s" >&2
     sleep $((attempt*120))
   done
-  return 1
+  # final try — no sleep after a terminal failure (ADVICE r04)
+  timeout 10800 python -u -m sim2real_lane_segment_tpu.cli.domain_study "$@"
 }
 
 set -e
+# Legs run serially, one regime per process, so a co-tenant OOM costs at
+# most one regime's progress and the per-regime cache_attempts ladder
+# (domain_study.regime_cache) stays scoped to the leg that crashed.
 run_with_resume \
   --workdir "$W" --arch "$ARCH" --epochs 175 --episodes 16 --steps 144 \
   --batch_size 64 --device_cache --regimes baseline
 run_with_resume \
   --workdir "$W" --arch "$ARCH" --epochs 175 --episodes 16 --steps 144 \
   --batch_size 32 --device_cache --regimes mme
+run_with_resume \
+  --workdir "$W" --arch "$ARCH" --epochs 175 --episodes 16 --steps 144 \
+  --batch_size 64 --device_cache --regimes st
+run_with_resume \
+  --workdir "$W" --arch "$ARCH" --epochs 175 --episodes 16 --steps 144 \
+  --batch_size 64 --device_cache --regimes hm
+run_with_resume \
+  --workdir "$W" --arch "$ARCH" --epochs 175 --episodes 16 --steps 144 \
+  --batch_size 64 --device_cache --regimes cyclegan
+# Students: one leg for all five so the distill loop sees every cached
+# teacher; the regime fits themselves are all cached by now and skip.
+run_with_resume \
+  --workdir "$W" --arch "$ARCH" --epochs 175 --episodes 16 --steps 144 \
+  --batch_size 64 --device_cache --distill \
+  --regimes baseline st hm cyclegan mme
 
 OUT=artifacts/refscale_67
 mkdir -p "$OUT"
-cp "$W"/results/baseline/metrics.jsonl "$OUT"/baseline_metrics.jsonl
-cp "$W"/results/mme/metrics.jsonl "$OUT"/mme_metrics.jsonl
+for r in baseline st hm cyclegan mme; do
+  cp "$W"/results/$r/metrics.jsonl "$OUT"/${r}_metrics.jsonl
+  if [ -f "$W"/results/student_$r/metrics.jsonl ]; then
+    cp "$W"/results/student_$r/metrics.jsonl "$OUT"/student_${r}_metrics.jsonl
+  fi
+done
 cp "$W"/study_summary.json "$OUT"/study_summary.json
 echo "reference-scale logs copied to $OUT"

@@ -25,50 +25,85 @@ import numpy as np
 from . import common
 
 
-def _time_scan(fn, args, k=8, iters=4):
-    """Mean seconds per fn(*args) via a K-pass on-device scan.
+def _time_scan(fn, args, k=8, iters=4, with_floor=False):
+    """Mean seconds per fn(*args) via an L=k*iters-pass on-device scan.
 
-    Each pass's inputs are rolled along axis 0 by a carry-derived
-    runtime shift (0 or 1 — never provable at compile time, for ANY
-    input dtype), so XLA can neither hoist the loop-invariant
-    computation out of the scan nor CSE the passes; the carry also
-    consumes each output.  Consumption must cover EVERY output element:
-    reading one element (the original ``leaf[0]``) lets XLA dead-code
-    the rest — slicing a sliceable computation down to one dot-row, and
-    deleting a discarded backward entirely (train_breakdown's 234 ms
-    train step read as 67 ms of forward-only, its consumers as 0.005 ms
-    at 18,000% MXU; opaque pallas_call levels were immune, which is why
-    serve_breakdown's numbers cross-checked against bench.py anyway).
-    A full jnp.sum per leaf forces the whole computation for ~free.
+    Harness design (each clause closes a measured failure mode — see
+    QUIRKS.md "measurement traps"):
+
+    * ONE dispatch of length L, closed by a VALUE fetch — not
+      block_until_ready(): under the dev relay's async mode
+      block_until_ready returns before the work runs (measured: a
+      2.8 ms matmul scan "completing" in 5 us), and each extra
+      dispatch+fetch pays a full relay roundtrip that inflates short
+      measurements (ADVICE r04: iters are folded INTO the scan length
+      rather than looped on the host).
+    * Each pass's inputs are rolled along axis 0 by a carry-derived
+      runtime shift (0 or 1 — never provable at compile time, for ANY
+      input dtype), so XLA can neither hoist the body out of the scan
+      nor CSE the passes.
+    * Every output leaf is consumed through ``abs`` — NOT a bare
+      ``jnp.sum``: the simplifier rewrites pure sum(A@B) into an
+      O(n^2) row/col contraction, algebraically deleting the matmul
+      being timed (ADVICE r04); abs blocks the reassociation.  And the
+      per-row sums are weighted by a position-dependent vector before
+      the final reduction, so sum-of-roll cannot be rewritten as
+      sum (a permutation-invariant reduction would let the simplifier
+      drop the roll, silently removing the harness's anti-CSE copy
+      from the calibration scan below).  Consumption must cover EVERY
+      output element: reading one element lets XLA dead-code the rest
+      (train_breakdown's 234 ms train step read as 67 ms of
+      forward-only under the pre-r4 harness).
+    * The real scan and a CALIBRATION scan (same rolls, same input
+      consumption, ``fn`` elided) both run when ``with_floor`` is set;
+      the caller gets (dt_real, dt_floor) and can report
+      floor-subtracted rows.  Both scans consume the rolled INPUTS so
+      the floor term is common-mode; the real scan's extra cost over
+      ``t_fn`` is then one HBM read of fn's outputs.
     """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def loop(xs):
-        def body(c, _):
-            sh = c.astype(jnp.int32) & 1  # runtime 0, not foldable
-            xs2 = jax.tree_util.tree_map(
-                lambda a: jnp.roll(a, sh, axis=0) if a.ndim else a, xs)
-            out = fn(*xs2)
-            tot = sum(jnp.sum(l.astype(jnp.float32))
-                      for l in jax.tree_util.tree_leaves(out))
-            return c + tot * np.float32(1e-30), None
-        return jax.lax.scan(body, np.float32(0.0), None, length=k)[0]
+    L = k * iters
 
-    # close every timing window with a VALUE fetch, not
-    # block_until_ready(): under the dev relay's async mode
-    # block_until_ready returns before the work runs (measured: a
-    # 2.8 ms matmul scan "completing" in 5 us), while a scalar fetch
-    # always forces the full roundtrip in both relay modes.
-    float(loop(args))  # warmup/compile
-    t0 = time.perf_counter()
-    s = np.float32(0.0)
-    for _ in range(iters):
+    def consume(tree):
+        tot = np.float32(0.0)
+        for l in jax.tree_util.tree_leaves(tree):
+            a = jnp.abs(l.astype(jnp.float32))
+            if a.ndim == 0:
+                tot = tot + a
+                continue
+            rows = jnp.sum(a, axis=tuple(range(1, a.ndim)))
+            w = (jnp.arange(rows.shape[0], dtype=jnp.float32) + 1.0)
+            tot = tot + jnp.vdot(rows, w)
+        return tot
+
+    def make_loop(run_fn):
+        @jax.jit
+        def loop(xs):
+            def body(c, _):
+                sh = c.astype(jnp.int32) & 1  # runtime 0, not foldable
+                xs2 = jax.tree_util.tree_map(
+                    lambda a: jnp.roll(a, sh, axis=0) if a.ndim else a, xs)
+                tot = consume(xs2)
+                if run_fn:
+                    tot = tot + consume(fn(*xs2))
+                return c + tot * np.float32(1e-30), None
+            return jax.lax.scan(body, np.float32(0.0), None, length=L)[0]
+        return loop
+
+    def timed(loop):
+        s = float(loop(args))  # warmup/compile
+        t0 = time.perf_counter()
         s += float(loop(args))
-    dt = (time.perf_counter() - t0) / (iters * k)
-    assert np.isfinite(s)
-    return dt
+        dt = (time.perf_counter() - t0) / L
+        assert np.isfinite(s)
+        return dt
+
+    dt = timed(make_loop(True))
+    if not with_floor:
+        return dt
+    return dt, timed(make_loop(False))
 
 
 def main(args=None) -> dict:
@@ -132,7 +167,9 @@ def main(args=None) -> dict:
     for segments, folded, kw in calls:
         h, w, n, g = kw["h"], kw["w"], kw["n_layers"], kw["growth"]
         fn = functools.partial(real, folded=folded, **kw)
-        dt = _time_scan(lambda *s: fn(list(s)), tuple(segments))
+        dt, dt_floor = _time_scan(lambda *s: fn(list(s)), tuple(segments),
+                                  with_floor=True)
+        dt = max(dt - dt_floor, 1e-9)
         t_sum += dt
         c_in = sum(s.shape[1] for s in segments)
         pix = h * w
@@ -159,10 +196,17 @@ def main(args=None) -> dict:
             for mode in ("no_taps", "no_prep"):
                 fn_a = functools.partial(real, folded=folded,
                                          ablate=mode, **kw)
-                abl[mode + "_ms"] = round(_time_scan(
-                    lambda *s: fn_a(list(s)), tuple(segments)) * 1e3, 3)
+                try:
+                    dt_a, dt_af = _time_scan(lambda *s: fn_a(list(s)),
+                                             tuple(segments),
+                                             with_floor=True)
+                except ValueError as e:  # tiled-path level: no ablation
+                    print(f"ablate skipped for {name}: {e}")
+                    break
+                abl[mode + "_ms"] = round(max(dt_a - dt_af, 0.0) * 1e3, 3)
         rows.append({
             "level": name,
+            "floor_ms": round(dt_floor * 1e3, 3),
             **abl,
             "ms": round(dt * 1e3, 3),
             "gflop": round(flops / 1e9, 1),
@@ -175,10 +219,18 @@ def main(args=None) -> dict:
     def full(xx):
         return tp.pallas_apply(model, variables, xx, use_softmax=False)
 
-    dt_full = _time_scan(full, (x,))
+    dt_full, dt_full_floor = _time_scan(full, (x,), with_floor=True)
+    dt_full = max(dt_full - dt_full_floor, 1e-9)
     fps = args.batch_size / dt_full
     total_gf = sum(r["gflop"] for r in rows)
 
+    print("\nNOTE: every row is floor-subtracted — a calibration scan "
+          "with the same rolls and input consumption but the kernel "
+          "elided is timed per level and its per-pass cost (printed as "
+          "floor_ms) removed, so relay dispatch/fetch overhead and the "
+          "harness's anti-CSE copies do not inflate sub-ms levels; the "
+          "residual harness cost in a row is ~one HBM read of that "
+          "level's outputs.")
     print(f"\n{'level':36s} {'ms':>8s} {'GFLOP':>8s} {'TF/s':>6s} "
           f"{'MXU%':>5s} {'HBM GB/s':>9s} {'HBM%':>5s}")
     for r in rows:

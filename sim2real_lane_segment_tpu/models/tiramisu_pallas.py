@@ -716,7 +716,14 @@ def fused_dense_block_cm(segments, folded, *, n_layers, growth, c_lo, h, w,
             **common,
         )(*segments, *extra_in)
 
-    assert ablate is None, "ablate is a packed-path-only diagnostic"
+    if ablate is not None:
+        # not an assert: under python -O an assert is stripped and a
+        # tiled-path run would silently return correct math while the
+        # caller believes it measured an ablation (ADVICE r04)
+        raise ValueError(
+            "ablate is a packed-path-only diagnostic; this level fell to "
+            "the tiled path (ips=0 or partial-height tiling) — skip "
+            "ablation for it")
     if tile_rows is None:
         tile_rows = _pick_tile_rows(h, w, c_total, growth, n_layers,
                                     itemsize, align)
