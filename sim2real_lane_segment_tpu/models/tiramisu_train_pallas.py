@@ -35,7 +35,12 @@ kernel with its own custom VJP:
   and dW = G9r @ A^T (weight grads, accumulated across the batch grid in
   the f32 output block).  Activations are recomputed in VMEM from the
   (already-resident) segments; the only saved residuals are tensors the
-  network keeps anyway.
+  network keeps anyway.  By default the whole block's backward runs as
+  the FUSED reverse sweep (`_fused_block` below — round 5): inter-layer
+  cotangent traffic is compressed to each layer's g-channel
+  pre-activation gradient and the per-layer [c_j, P] input-cotangent
+  materializations (plus XLA's re-reads to sum them) are eliminated;
+  S2R_FUSED_BLOCK_BWD=0 restores the per-consumer custom-VJP path.
 - the BatchNorm STATISTICS chain (batch mean/var, gradients through
   them, running-stat updates) lives entirely in differentiable XLA glue
   outside the kernels: the kernel's custom VJP returns cotangents for
@@ -544,11 +549,499 @@ def _head_cm(model, variables, segs, h, w, dtype, use_softmax):
     return out
 
 
+# ---------------------------------------------------------------------------
+# fused dense-block backward (round 5 — VERDICT r04 item #2)
+# ---------------------------------------------------------------------------
+#
+# The per-consumer custom VJP above materializes a [c_j, P] input
+# cotangent per layer (dseg), which XLA then sums per segment — the
+# round-4 breakdown located the backward's cost (97.4 vs 43.7 ms fwd at
+# b64) in exactly this O(n^2 g P) HBM traffic.  A single fused reverse
+# sweep over the whole block is IMPOSSIBLE with train-mode BatchNorm:
+# every layer's folded (scale, shift) depends on batch-global statistics
+# of all earlier layer outputs, so the reverse chain needs a batch-wide
+# reduction between consecutive layer stages (the gradient through
+# mu/var of y_j uses dscale/dshift of layers > j summed over the WHOLE
+# batch — not available inside a batch-gridded kernel at stage j).
+#
+# What CAN be removed is the cotangent materialization.  The block
+# backward below keeps one kernel per layer stage (the batch sync
+# between stages rides the pallas_call boundary, as it must) but
+# compresses all inter-stage cotangent traffic to the g-channel
+# pre-activation gradient g_pre_j = dy_j * dropout_mask * valid_mask:
+#
+#   * stage j computes its OWN dy_j by RECOMPUTING the later layers'
+#     contributions from their stored g_pre's — per later layer l one
+#     [g, 9g] x [9g, P] GEMM (the Y_j-channel rows of Wf_l against the
+#     rebuilt rolled-cotangent matrix) plus a relu-mask recompute from
+#     Y_j's resident values.  FLOPs are free here (the step runs at ~6%
+#     MXU); the [c_l, P] dseg write + XLA re-read they replace is not.
+#   * the BN statistics / fold backward stays OUTSIDE the kernels in
+#     autodiff-derived glue: per-channel (dscale, dshift) accumulated by
+#     each stage kernel are pulled back through jax.vjp of the tiny fold
+#     and stats functions, and the resulting [B, g, P] correction to
+#     dy_j is handed to stage j as part of its external cotangent.  No
+#     hand-written BN backward anywhere (same contract as the
+#     per-consumer design).
+#   * one FINAL kernel computes the block-input segment cotangents for
+#     all n layers in a single pass over the c_in input channels.
+#
+# Block HBM traffic drops from ~3·Σc_j·P (segments in + dseg out + XLA
+# add re-read) to ~Σc_j·P + 2·c_in·P + O(n·g·P); gradients are
+# bit-comparable (f32 accumulation in place of XLA's bf16 slice sums —
+# exactly equal in the f32-policy parity gates).
+#
+# Ablation/fallback: S2R_FUSED_BLOCK_BWD=0 restores the per-consumer
+# path (read at trace time).
+
+
+class _StageCfg(NamedTuple):
+    h: int
+    w: int
+    seg_chans: tuple   # channels of THIS consumer's input segments
+    g_out: int
+    n_later: int
+    dtype: str
+    interpret: bool
+
+
+class _FinalCfg(NamedTuple):
+    h: int
+    w: int
+    seg_chans: tuple   # block-input segment channels
+    g_out: int
+    n_layers: int
+    dtype: str
+    interpret: bool
+
+
+def _g9_build(g_pre, g9_scr, w, p, g, mask_l, mask_r, dtype):
+    """Write the rolled-cotangent matrix G9r into scratch: G9r[t] =
+    roll(g_pre * m_t, off_t) — identical to _bwd_kernel's build, so a
+    later stage's rebuild from the STORED g_pre equals the matrix the
+    producing stage used (the column-edge masks are exact 0/1, so the
+    store-dtype rounding commutes with them)."""
+    for ky in range(3):
+        for kx in range(3):
+            tap = ky * 3 + kx
+            src = g_pre
+            if kx == 0:
+                src = src * mask_l
+            elif kx == 2:
+                src = src * mask_r
+            roll = (ky - 1) * w + (kx - 1)
+            if roll != 0:
+                src = pltpu.roll(src, shift=roll % p, axis=1)
+            g9_scr[tap * g:(tap + 1) * g, :] = src.astype(dtype)
+
+
+def _stage_kernel(cfg: _StageCfg, *refs):
+    m, L = len(cfg.seg_chans), cfg.n_later
+    i = 0
+    seg_refs = refs[i:i + m]; i += m
+    y_ref = refs[i]; i += 1
+    ext_ref = refs[i]; i += 1
+    gp_refs = refs[i:i + L]; i += L
+    wf_ref = refs[i]; i += 1
+    wfs_refs = refs[i:i + L]; i += L
+    scale_ref, shift_ref = refs[i:i + 2]; i += 2
+    scs_refs = refs[i:i + L]; i += L
+    shs_refs = refs[i:i + L]; i += L
+    mask_ref = refs[i]; i += 1
+    (gp_out, dwf_ref, dscale_ref, dshift_ref,
+     dbias_ref) = refs[i:i + 5]; i += 5
+    f_scr, g9_scr = refs[i:i + 2]
+
+    dtype = jnp.dtype(cfg.dtype)
+    p = f_scr.shape[1]
+    w, g = cfg.w, cfg.g_out
+    mask_v, mask_l, mask_r = _masks(cfg, p)
+    first = pl.program_id(0) == 0
+    not_first = jnp.logical_not(first)
+
+    # dy_j = external cotangent (incl. the glue-computed stats
+    # correction) + recomputed contributions from every later consumer
+    dy = ext_ref[0]
+    if L:
+        yv = y_ref[0].astype(jnp.float32)
+    for l in range(L):
+        _g9_build(gp_refs[l][0], g9_scr, w, p, g, mask_l, mask_r, dtype)
+        dA = jax.lax.dot_general(wfs_refs[l][:, :], g9_scr[:, :],
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sc = scs_refs[l][:, :]
+        z = yv * sc + shs_refs[l][:, :]
+        relu_m = ((z > 0.0).astype(jnp.float32)
+                  + 0.5 * (z == 0.0).astype(jnp.float32)) * mask_v
+        dy = dy + dA * relu_m * sc
+
+    g_pre = dy * mask_ref[0] * mask_v
+    gp_out[0] = g_pre.astype(dtype)
+
+    db = jnp.sum(g_pre, axis=1, keepdims=True)
+
+    @pl.when(first)
+    def _():
+        dbias_ref[:, :] = jnp.broadcast_to(db, dbias_ref.shape)
+
+    @pl.when(not_first)
+    def _():
+        dbias_ref[:, :] = dbias_ref[:, :] + jnp.broadcast_to(
+            db, dbias_ref.shape)
+
+    # own-layer wgrad + per-channel dscale/dshift (the dgrad GEMM runs
+    # only to feed them — its [c_j, P] result is never written to HBM)
+    off = 0
+    for si, c in enumerate(cfg.seg_chans):
+        f_scr[off:off + c, :] = seg_refs[si][0]
+        off += c
+    c_j = off
+    _g9_build(g_pre, g9_scr, w, p, g, mask_l, mask_r, dtype)
+    g9 = g9_scr[:, :]
+    for kc in range(0, c_j, LANE):
+        ck = min(LANE, c_j - kc)
+        xk = f_scr[kc:kc + ck, :].astype(jnp.float32)
+        sck = scale_ref[kc:kc + ck, :]
+        z = xk * sck + shift_ref[kc:kc + ck, :]
+        relu_m = ((z > 0.0).astype(jnp.float32)
+                  + 0.5 * (z == 0.0).astype(jnp.float32)) * mask_v
+        a = (jnp.maximum(z, 0.0) * mask_v).astype(dtype)
+
+        dwk = jax.lax.dot_general(g9, a, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _():
+            dwf_ref[:, kc:kc + ck] = dwk
+
+        @pl.when(not_first)
+        def _():
+            dwf_ref[:, kc:kc + ck] = dwf_ref[:, kc:kc + ck] + dwk
+
+        dak = jax.lax.dot_general(wf_ref[:, kc:kc + ck], g9,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dz = dak * relu_m
+        ds = jnp.sum(dz * xk, axis=1, keepdims=True)
+        dh = jnp.sum(dz, axis=1, keepdims=True)
+
+        @pl.when(first)
+        def _():
+            dscale_ref[kc:kc + ck, :] = jnp.broadcast_to(ds, (ck, LANE))
+            dshift_ref[kc:kc + ck, :] = jnp.broadcast_to(dh, (ck, LANE))
+
+        @pl.when(not_first)
+        def _():
+            dscale_ref[kc:kc + ck, :] = (dscale_ref[kc:kc + ck, :]
+                                         + jnp.broadcast_to(ds, (ck, LANE)))
+            dshift_ref[kc:kc + ck, :] = (dshift_ref[kc:kc + ck, :]
+                                         + jnp.broadcast_to(dh, (ck, LANE)))
+
+
+def _stage_call(cfg: _StageCfg, segs, y, ext, gps, wf, wf_slices,
+                scale, shift, sc_slices, sh_slices, mask):
+    bsz = y.shape[0]
+    p = y.shape[2]
+    c_j = sum(cfg.seg_chans)
+    g = cfg.g_out
+    dtype = jnp.dtype(cfg.dtype)
+    m = 9 * g
+    per_b = lambda c: pl.BlockSpec((1, c, p), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stage_kernel, cfg),
+        grid=(bsz,),
+        in_specs=([per_b(c) for c in cfg.seg_chans]
+                  + [per_b(g), per_b(g)]                    # y, ext
+                  + [per_b(g) for _ in gps]                 # later g_pres
+                  + [whole()]                               # wf
+                  + [whole() for _ in wf_slices]
+                  + [whole(), whole()]                      # scale, shift
+                  + [whole() for _ in sc_slices]
+                  + [whole() for _ in sh_slices]
+                  + [pl.BlockSpec((1, g, 1), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)]),  # mask
+        out_specs=(
+            per_b(g),                                          # g_pre
+            pl.BlockSpec((m, c_j), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),             # dwf
+            pl.BlockSpec((c_j, LANE), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),             # dscale
+            pl.BlockSpec((c_j, LANE), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),             # dshift
+            pl.BlockSpec((g, LANE), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),             # dbias
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, g, p), dtype),
+            jax.ShapeDtypeStruct((m, c_j), jnp.float32),
+            jax.ShapeDtypeStruct((c_j, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((c_j, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g, LANE), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c_j, p), dtype),
+            pltpu.VMEM((m, p), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=cfg.interpret,
+    )(*segs, y, ext, *gps, wf, *wf_slices, scale, shift,
+      *sc_slices, *sh_slices, mask)
+
+
+def _final_kernel(cfg: _FinalCfg, *refs):
+    m, n = len(cfg.seg_chans), cfg.n_layers
+    i = 0
+    seg_refs = refs[i:i + m]; i += m
+    gp_refs = refs[i:i + n]; i += n
+    wfs_refs = refs[i:i + n]; i += n
+    scs_refs = refs[i:i + n]; i += n
+    shs_refs = refs[i:i + n]; i += n
+    dseg_ref = refs[i]; i += 1
+    f_scr, g9_scr, acc_scr = refs[i:i + 3]
+
+    dtype = jnp.dtype(cfg.dtype)
+    p = f_scr.shape[1]
+    w, g = cfg.w, cfg.g_out
+    mask_v, mask_l, mask_r = _masks(cfg, p)
+
+    off = 0
+    for si, c in enumerate(cfg.seg_chans):
+        f_scr[off:off + c, :] = seg_refs[si][0]
+        off += c
+    c_in = off
+
+    for l in range(n):
+        _g9_build(gp_refs[l][0], g9_scr, w, p, g, mask_l, mask_r, dtype)
+        g9 = g9_scr[:, :]
+        for kc in range(0, c_in, LANE):
+            ck = min(LANE, c_in - kc)
+            dak = jax.lax.dot_general(wfs_refs[l][:, kc:kc + ck], g9,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            xk = f_scr[kc:kc + ck, :].astype(jnp.float32)
+            sck = scs_refs[l][kc:kc + ck, :]
+            z = xk * sck + shs_refs[l][kc:kc + ck, :]
+            relu_m = ((z > 0.0).astype(jnp.float32)
+                      + 0.5 * (z == 0.0).astype(jnp.float32)) * mask_v
+            t = dak * relu_m * sck
+            if l == 0:
+                acc_scr[kc:kc + ck, :] = t
+            else:
+                acc_scr[kc:kc + ck, :] = acc_scr[kc:kc + ck, :] + t
+
+    dseg_ref[0] = acc_scr[:, :].astype(dtype)
+
+
+def _final_call(cfg: _FinalCfg, segs, gps, wf_slices, sc_slices, sh_slices):
+    bsz = segs[0].shape[0]
+    p = segs[0].shape[2]
+    c_in = sum(cfg.seg_chans)
+    g = cfg.g_out
+    dtype = jnp.dtype(cfg.dtype)
+    per_b = lambda c: pl.BlockSpec((1, c, p), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    whole = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_final_kernel, cfg),
+        grid=(bsz,),
+        in_specs=([per_b(c) for c in cfg.seg_chans]
+                  + [per_b(g) for _ in gps]
+                  + [whole() for _ in wf_slices]
+                  + [whole() for _ in sc_slices]
+                  + [whole() for _ in sh_slices]),
+        out_specs=per_b(c_in),
+        out_shape=jax.ShapeDtypeStruct((bsz, c_in, p), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c_in, p), dtype),
+            pltpu.VMEM((9 * g, p), dtype),
+            pltpu.VMEM((c_in, p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=cfg.interpret,
+    )(*segs, *gps, *wf_slices, *sc_slices, *sh_slices)
+
+
+class _BlkCfg(NamedTuple):
+    h: int
+    w: int
+    seg_chans: tuple   # block-input segment channels
+    n_layers: int
+    g_out: int
+    dtype: str
+    interpret: bool
+
+
+def _fold_vec(gamma, beta, mu, var):
+    """_fold_affine on raw vectors (same ops, so forward values agree
+    bitwise); jax.vjp of THIS function is the fold backward."""
+    scale = (gamma * jax.lax.rsqrt(var + EPS)).astype(jnp.float32)
+    shift = beta - mu * scale
+    return scale[:, None], shift[:, None].astype(jnp.float32)
+
+
+def _fused_block_core(cfg: _BlkCfg, segs, mu_in, var_in, gammas, betas,
+                      wfs, biases, masks):
+    """The block forward shared by the primal and the fwd rule: per-layer
+    fused consumer kernels, folds from (params, stats) exactly as the
+    per-consumer path computes them."""
+    cur = list(segs)
+    cur_mu, cur_var = list(mu_in), list(var_in)
+    ys, mus_y, vars_y = [], [], []
+    for j in range(cfg.n_layers):
+        scale, shift = _fold_vec(gammas[j], betas[j],
+                                 jnp.concatenate(cur_mu),
+                                 jnp.concatenate(cur_var))
+        ccfg = _Cfg(cfg.h, cfg.w, tuple(s.shape[1] for s in cur), 9,
+                    cfg.g_out, cfg.dtype, cfg.interpret)
+        y = _consumer_fwd(ccfg, tuple(cur), scale, shift, wfs[j],
+                          biases[j], masks[j])
+        mu, var = _seg_stats_cm(y, cfg.h, cfg.w)
+        cur.append(y)
+        cur_mu.append(mu)
+        cur_var.append(var)
+        ys.append(y)
+        mus_y.append(mu)
+        vars_y.append(var)
+    return tuple(ys), tuple(mus_y), tuple(vars_y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_block(cfg: _BlkCfg, segs, mu_in, var_in, gammas, betas,
+                 wfs, biases, masks):
+    """A whole train-mode DenseBlock as one differentiable primitive —
+    forward identical to the per-consumer path; backward is the fused
+    reverse sweep described in the section comment above."""
+    ys, _, _ = _fused_block_core(cfg, segs, mu_in, var_in, gammas, betas,
+                                 wfs, biases, masks)
+    return ys
+
+
+def _fused_block_fwd_rule(cfg, segs, mu_in, var_in, gammas, betas,
+                          wfs, biases, masks):
+    ys, mus_y, vars_y = _fused_block_core(cfg, segs, mu_in, var_in,
+                                          gammas, betas, wfs, biases, masks)
+    return ys, (segs, ys, mu_in, var_in, mus_y, vars_y, gammas, betas,
+                wfs, masks)
+
+
+def _fused_block_bwd_rule(cfg, res, dys):
+    (segs, ys, mu_in, var_in, mus_y, vars_y, gammas, betas,
+     wfs, masks) = res
+    n, g, h, w = cfg.n_layers, cfg.g_out, cfg.h, cfg.w
+    c_in = sum(cfg.seg_chans)
+    c_all = c_in + n * g
+
+    # folds recomputed with their vjps (per-channel vectors — tiny)
+    folds, fold_vjps = [], []
+    for j in range(n):
+        mu_full = jnp.concatenate(list(mu_in) + list(mus_y[:j]))
+        var_full = jnp.concatenate(list(var_in) + list(vars_y[:j]))
+        (scale, shift), vjp_fn = jax.vjp(_fold_vec, gammas[j], betas[j],
+                                         mu_full, var_full)
+        folds.append((scale, shift))
+        fold_vjps.append(vjp_fn)
+
+    acc_dmu = jnp.zeros((c_all,), jnp.float32)
+    acc_dvar = jnp.zeros((c_all,), jnp.float32)
+    g_pres = [None] * n
+    dgammas, dbetas, dwfs, dbiases = ([None] * n for _ in range(4))
+
+    for j in reversed(range(n)):
+        ext = dys[j].astype(jnp.float32)
+        lo = c_in + j * g
+        if j < n - 1:
+            # stats correction: later layers' folds read mu/var of Y_j;
+            # their accumulated per-channel cotangents pull back through
+            # autodiff of the stats function into a [B, g, P] term
+            _, stats_vjp = jax.vjp(
+                lambda t: _seg_stats_cm(t, h, w), ys[j])
+            (corr,) = stats_vjp((acc_dmu[lo:lo + g], acc_dvar[lo:lo + g]))
+            ext = ext + corr.astype(jnp.float32)
+        later = range(j + 1, n)
+        scfg = _StageCfg(h, w, tuple(s.shape[1] for s in
+                                     list(segs) + list(ys[:j])),
+                         g, n - 1 - j, cfg.dtype, cfg.interpret)
+        gp, dwf, dsc, dsh, db = _stage_call(
+            scfg, tuple(segs) + tuple(ys[:j]), ys[j], ext,
+            [g_pres[l] for l in later], wfs[j],
+            [wfs[l][:, lo:lo + g] for l in later],
+            folds[j][0], folds[j][1],
+            [folds[l][0][lo:lo + g] for l in later],
+            [folds[l][1][lo:lo + g] for l in later],
+            masks[j])
+        g_pres[j] = gp
+        dwfs[j] = dwf.astype(wfs[j].dtype)
+        dbiases[j] = db[:, 0:1]
+        dg, dbta, dmu_full, dvar_full = fold_vjps[j](
+            (dsc[:, 0:1], dsh[:, 0:1]))
+        dgammas[j] = dg
+        dbetas[j] = dbta
+        c_j = c_in + j * g
+        acc_dmu = acc_dmu.at[:c_j].add(dmu_full)
+        acc_dvar = acc_dvar.at[:c_j].add(dvar_full)
+
+    fcfg = _FinalCfg(h, w, cfg.seg_chans, g, n, cfg.dtype, cfg.interpret)
+    dfull = _final_call(fcfg, tuple(segs), g_pres,
+                        [wfs[l][:, :c_in] for l in range(n)],
+                        [folds[l][0][:c_in] for l in range(n)],
+                        [folds[l][1][:c_in] for l in range(n)])
+    dsegs, dmu_in, dvar_in = [], [], []
+    lo = 0
+    for c in cfg.seg_chans:
+        dsegs.append(dfull[:, lo:lo + c, :])
+        dmu_in.append(acc_dmu[lo:lo + c])
+        dvar_in.append(acc_dvar[lo:lo + c])
+        lo += c
+    return (tuple(dsegs), tuple(dmu_in), tuple(dvar_in), tuple(dgammas),
+            tuple(dbetas), tuple(dwfs), tuple(dbiases),
+            tuple(jnp.zeros_like(m) for m in masks))
+
+
+_fused_block.defvjp(_fused_block_fwd_rule, _fused_block_bwd_rule)
+
+
 def _block_tp(segs, stats, params, old_stats, n_layers, rate, key, site,
               h, w, dtype, interpret, growth):
-    """Train-mode DenseBlock: one _consumer call per layer; stats + BN
-    running updates mirror tiramisu_fast._dense_block_train exactly."""
+    """Train-mode DenseBlock; stats + BN running updates mirror
+    tiramisu_fast._dense_block_train exactly.  Default path: the fused
+    block primitive (_fused_block — per-consumer forward kernels, fused
+    reverse sweep).  S2R_FUSED_BLOCK_BWD=0 falls back to one _consumer
+    custom-VJP call per layer."""
+    import os
+
     bsz = segs[0].shape[0]
+    if os.environ.get("S2R_FUSED_BLOCK_BWD", "1") != "0":
+        dname = jnp.dtype(dtype).name
+        cfg = _BlkCfg(h, w, tuple(s.shape[1] for s in segs), n_layers,
+                      growth, dname, interpret)
+        layer_p = [params[f"DenseLayer_{j}"] for j in range(n_layers)]
+        ys = _fused_block(
+            cfg, tuple(segs),
+            tuple(s[0] for s in stats), tuple(s[1] for s in stats),
+            tuple(lp["BatchNorm_0"]["scale"] for lp in layer_p),
+            tuple(lp["BatchNorm_0"]["bias"] for lp in layer_p),
+            tuple(_wf3(lp["Conv_0"]["kernel"], dtype) for lp in layer_p),
+            tuple(lp["Conv_0"]["bias"].astype(jnp.float32)[:, None]
+                  for lp in layer_p),
+            tuple(_drop_mask(key, site + j, rate, bsz, growth)
+                  for j in range(n_layers)))
+        site += n_layers
+        cur, cur_stats = list(segs), list(stats)
+        new, new_stats, updates = [], [], {}
+        for j, y in enumerate(ys):
+            updates[f"DenseLayer_{j}"] = {"BatchNorm_0": _bn_update(
+                old_stats[f"DenseLayer_{j}"]["BatchNorm_0"], cur_stats)}
+            st = _seg_stats_cm(y, h, w)
+            cur.append(y)
+            cur_stats.append(st)
+            new.append(y)
+            new_stats.append(st)
+        return cur, cur_stats, new, new_stats, updates, site
+
     cur, cur_stats = list(segs), list(stats)
     new, new_stats, updates = [], [], {}
     for j in range(n_layers):
@@ -578,27 +1071,41 @@ def supports(model, height: int, width: int) -> bool:
     if not isinstance(model, FCDenseNet):
         return False
     itemsize = jnp.dtype(model.policy.compute_dtype).itemsize
+
+    def blk_worst(c_in, n, h, w):
+        """VMEM bound for one block's kernels at (h, w): the per-layer
+        forward, the fused-backward stage kernel (segs in + concat
+        scratch + G9r + later g_pres + f32 chunk temps), the fused
+        final kernel (segs + concat scratch + f32 accumulator), and the
+        legacy per-consumer backward (env-selectable fallback)."""
+        g = model.growth_rate
+        p = _pp(h, w)
+        c_j = c_in + (n - 1) * g
+        fwd = p * ((c_j + max(c_j, 9 * g)) * itemsize + 9 * g * 4)
+        stage = p * (2 * c_j * itemsize + (9 + n + 1) * g * itemsize
+                     + 8 * g + LANE * 12)
+        final = p * (c_in * (2 * itemsize + 4) + (9 + n) * g * itemsize
+                     + LANE * 12)
+        legacy = p * (c_j * (4 * itemsize) + 9 * g * (4 + itemsize)
+                      + LANE * 8)
+        return max(fwd, stage, final, legacy)
+
     g = model.growth_rate
     h, w = height, width
     cur = model.out_chans_first_conv
     skips = []
     worst = 0
     for n in model.down_blocks:
-        c_j = cur + (n - 1) * g
-        worst = max(worst, _pp(h, w) * (c_j + max(c_j, 9 * g)) * itemsize
-                    + _pp(h, w) * (9 * g) * 4)
+        worst = max(worst, blk_worst(cur, n, h, w))
         cur += g * n
         skips.insert(0, (cur, h, w))
         worst = max(worst, _pp(h, w) * cur * (2 * itemsize + 4))  # TD
         h, w = h // 2, w // 2
+    worst = max(worst, blk_worst(cur, model.bottleneck_layers, h, w))
     prev = g * model.bottleneck_layers
     for i, n in enumerate(model.up_blocks):
         c_in, h, w = skips[i]
-        c_j = prev + c_in + (n - 1) * g
-        # bwd is the fatter kernel: segs + dseg + scratch + f32 chunk
-        worst = max(worst, _pp(h, w) * (c_j * (4 * itemsize)
-                                        + 9 * g * (4 + itemsize)
-                                        + LANE * 8))
+        worst = max(worst, blk_worst(prev + c_in, n, h, w))
         prev = g * n
     return worst <= _VMEM_BUDGET
 

@@ -286,6 +286,41 @@ def test_mme_pallas_train_step_matches_standard_nodropout():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_fused_block_bwd_matches_per_consumer_path():
+    """The fused block backward (default) and the legacy per-consumer
+    custom-VJP path (S2R_FUSED_BLOCK_BWD=0) are the same math with
+    different HBM materialization — at f32 policy the gradients must
+    agree to float-accumulation noise, with dropout active (so the
+    dropout-mask, relu-tie, and stats-correction paths are all
+    exercised).  The env flag is read at trace time, so each path is
+    traced under its own setting."""
+    import os
+
+    model = tiny_model()  # dropout 0.2, two multi-layer blocks per side
+    variables = _init_with_stats(model, jax.random.key(12), (2, 24, 32, 3))
+    x = jax.random.normal(jax.random.key(13), (2, 24, 32, 3))
+
+    def loss(params):
+        out, _ = pallas_apply_train(
+            model, {"params": params,
+                    "batch_stats": variables["batch_stats"]},
+            x, jax.random.key(14), use_softmax=False, interpret=True)
+        return jnp.mean(out ** 2)
+
+    grads = {}
+    for flag in ("1", "0"):
+        os.environ["S2R_FUSED_BLOCK_BWD"] = flag
+        try:
+            grads[flag] = jax.jit(jax.grad(loss))(variables["params"])
+        finally:
+            del os.environ["S2R_FUSED_BLOCK_BWD"]
+    for a, b in zip(jax.tree_util.tree_leaves(grads["1"]),
+                    jax.tree_util.tree_leaves(grads["0"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_supports_reports_feasibility():
     assert supports(tiny_model(), 24, 32)
     from sim2real_lane_segment_tpu.models.tiramisu import fcdensenet67
