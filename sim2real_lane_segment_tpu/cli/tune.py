@@ -99,6 +99,11 @@ def main(args=None) -> dict:
     p.add_argument("--search", choices=["tpe", "random"], default="tpe",
                    help="first-rung config proposer (reference used "
                         "BayesOptSearch; tpe is the native equivalent)")
+    p.add_argument("--eval_default", action="store_true",
+                   help="also run the hand-tuned default config (trainer "
+                        "defaults lr=1e-3, decay=1e-4) un-pruned to "
+                        "num_epochs and record it in best.json as the "
+                        "baseline the sweep is judged against")
     common.add_data_args(p)
     common.add_model_args(p)
     args = p.parse_args(args)
@@ -175,8 +180,32 @@ def main(args=None) -> dict:
     result = {"best_config": best["config"], "best_iou": best["best_iou"],
               "trial": best["id"]}
     os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.eval_default:
+        # the hand-tuned default every study/CLI ships with
+        # (train/supervised.py:42-43: lr=1e-3, decay=1e-4; lrRatio is a
+        # no-op for MME — QUIRKS) run to the full budget with no pruning
+        default_cfg = {"log_lr": -3.0, "log_lrRatio": 0.0, "log_decay": -4.0}
+        _, d_best = run_trial(
+            default_cfg, data, num_cls=args.num_cls, epochs_from=0,
+            epochs_to=args.num_epochs,
+            out_dir=os.path.join(args.out_dir, "trial_default"),
+            seed=seed, augment=True, arch=args.arch,
+            height=args.height, width=args.width)
+        result["default_config"] = default_cfg
+        result["default_iou"] = d_best
+        log.info("default config @%d epochs: best mean_iou %.3f",
+                 args.num_epochs, d_best)
+
     with open(os.path.join(args.out_dir, "best.json"), "w") as f:
         json.dump(result, f, indent=2)
+    # full per-trial table (config, rung reached, best mean_iou) — the
+    # committed sweep artifact the reference's Ray analysis.csv carried
+    with open(os.path.join(args.out_dir, "trials.json"), "w") as f:
+        json.dump([{"id": t["id"], "config": t["config"],
+                    "epochs": t["epoch"], "best_iou": t["best_iou"],
+                    "pruned": not t["alive"]} for t in trials
+                   if t["config"] is not None], f, indent=2)
     print("Best hyperparameters found were: ", best["config"])
     return result
 
