@@ -68,6 +68,12 @@ for r in baseline st hm cyclegan mme; do
   if [ -f "$W"/results/student_$r/metrics.jsonl ]; then
     cp "$W"/results/student_$r/metrics.jsonl "$OUT"/student_${r}_metrics.jsonl
   fi
+  # reference-scale student weights: the artifact behind bench.py's
+  # student-serving headline (VERDICT r04 stretch #8)
+  if [ -f "$W"/results/student_$r/best_weights.msgpack ]; then
+    cp "$W"/results/student_$r/best_weights.msgpack \
+       "$OUT"/student_${r}_weights.msgpack
+  fi
 done
 cp "$W"/study_summary.json "$OUT"/study_summary.json
 echo "reference-scale logs copied to $OUT"
