@@ -31,8 +31,8 @@ print("tree ready:", root)
 PY
 
 timeout 10800 python -u -m sim2real_lane_segment_tpu.cli.tune \
-  --dataPath "$W/srd_mme" --arch 67r --num_samples 16 --num_epochs 50 \
-  --grace_period 25 --reduction_factor 4 --search tpe --augment \
+  --dataPath "$W/srd_mme" --arch 67r --num_samples 12 --num_epochs 40 \
+  --grace_period 20 --reduction_factor 4 --search tpe --augment \
   --eval_default -b 32 --load2memory --device_cache \
   --out_dir "$W/tune_out" 2>&1 | tee "$W/tune_stdout.log"
 
