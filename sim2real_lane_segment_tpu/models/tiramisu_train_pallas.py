@@ -621,6 +621,13 @@ def _g9_build(g_pre, g9_scr, w, p, g, mask_l, mask_r, dtype):
     later stage's rebuild from the STORED g_pre equals the matrix the
     producing stage used (the column-edge masks are exact 0/1, so the
     store-dtype rounding commutes with them)."""
+    # Mosaic's tpu.dynamic_rotate only handles 32-bit lanes; callers pass
+    # g_pre either as f32 (the producing stage) or as the STORED bf16
+    # copy (later-stage rebuilds), so roll in f32 unconditionally.  The
+    # rebuild stays exact: roll commutes with the store-dtype cast
+    # (cast∘perm == perm∘cast and cast is idempotent), and the masks are
+    # exact 0/1.
+    g_pre = g_pre.astype(jnp.float32)
     for ky in range(3):
         for kx in range(3):
             tap = ky * 3 + kx
