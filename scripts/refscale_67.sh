@@ -65,6 +65,12 @@ OUT=artifacts/refscale_67
 mkdir -p "$OUT"
 for r in baseline st hm cyclegan mme; do
   cp "$W"/results/$r/metrics.jsonl "$OUT"/${r}_metrics.jsonl
+  # teacher weights too: container recycles have twice destroyed the
+  # workdir between sessions — committed weights let a later session
+  # run the student/distill legs without refitting 5 teachers
+  if [ -f "$W"/results/$r/best_weights.msgpack ]; then
+    cp "$W"/results/$r/best_weights.msgpack "$OUT"/${r}_weights.msgpack
+  fi
   if [ -f "$W"/results/student_$r/metrics.jsonl ]; then
     cp "$W"/results/student_$r/metrics.jsonl "$OUT"/student_${r}_metrics.jsonl
   fi
