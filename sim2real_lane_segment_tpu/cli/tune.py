@@ -48,22 +48,42 @@ SEARCH_SPACE = {
 
 
 
-def run_trial(config: dict, data, *, num_cls: int, epochs_from: int,
-              epochs_to: int, out_dir: str, seed: int,
-              augment: bool, state=None, arch: str = "67",
-              height: int = 120, width: int = 160):
-    """(Re)run one MME trial from epoch ``epochs_from`` to ``epochs_to``."""
-    import jax
+def make_trainer(*, num_cls: int, augment: bool, arch: str = "67",
+                 height: int = 120, width: int = 160):
+    """ONE trainer shared by every trial of the sweep.
 
-    from ..train.loop import MetricLogger, run_eval
+    All trial-varying hyperparameters (lr, lrRatio, decay) enter the
+    jitted step as host values or traced operands, never as trace-time
+    constants — so one trainer means one trace + one compile for the
+    whole sweep.  Per-trial trainers cost a full retrace each (jit keys
+    on instance identity), and a constructor-baked decay costs a full
+    COLD COMPILE each (~10 min/trial through the dev tunnel): the
+    round-5 session-3 sweep died exactly that death.
+    """
     from ..train.mme import MMETrainer
     from .test import build_model
 
-    trainer = MMETrainer(num_cls=num_cls, lr=10 ** config["log_lr"],
-                         lr_ratio=10 ** config["log_lrRatio"],
-                         decay=10 ** config["log_decay"], augment=augment,
-                         model=build_model(arch, num_cls),
-                         height=height, width=width)
+    return MMETrainer(num_cls=num_cls, augment=augment,
+                      model=build_model(arch, num_cls),
+                      height=height, width=width)
+
+
+def run_trial(config: dict, data, trainer, *, epochs_from: int,
+              epochs_to: int, out_dir: str, seed: int, state=None):
+    """(Re)run one MME trial from epoch ``epochs_from`` to ``epochs_to``."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..train.loop import MetricLogger, run_eval
+
+    # host-side hyperparams for THIS trial: lrs_at reads self.lr on the
+    # host (the schedule values enter the step as operands), and decay is
+    # passed to the step as a traced scalar below — mutating the shared
+    # trainer is safe because the compiled program closes over neither.
+    trainer.lr = 10 ** config["log_lr"]
+    trainer.lr_ratio = 10 ** config["log_lrRatio"]
+    trainer.decay = 10 ** config["log_decay"]
+    decay = jnp.float32(trainer.decay)
     if state is None:
         state = trainer.init_state(jax.random.key(seed))
 
@@ -76,7 +96,7 @@ def run_trial(config: dict, data, *, num_cls: int, epochs_from: int,
             key, k = jax.random.split(key)
             lr_g_fe, lr_g_cls, lr_f = trainer.lrs_at(epoch)
             state, _ = trainer.mme_train_step(state, x_lab, y, x_unl, k,
-                                              lr_g_fe, lr_g_cls, lr_f)
+                                              lr_g_fe, lr_g_cls, lr_f, decay)
         val = run_eval(trainer.eval_step, state, data.val_batches())
         logger.log(epoch, {"loss": val["loss"], "mean_accuracy": val["acc"],
                            "mean_iou": val["iou"]})
@@ -149,6 +169,22 @@ def main(args=None) -> dict:
         e *= args.reduction_factor
     rungs.append(args.num_epochs)
 
+    trainer = make_trainer(num_cls=args.num_cls, augment=True,
+                           arch=args.arch, height=args.height,
+                           width=args.width)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def _dump_trials():
+        # written after EVERY trial (not just at the end) so a partial
+        # sweep killed by the wall clock still leaves a usable table —
+        # the round-5 session-3 sweep died uncommitted for lack of this
+        with open(os.path.join(args.out_dir, "trials.json"), "w") as f:
+            json.dump([{"id": t["id"], "config": t["config"],
+                        "epochs": t["epoch"], "best_iou": t["best_iou"],
+                        "pruned": not t["alive"]} for t in trials
+                       if t["config"] is not None], f, indent=2)
+
     prev_rung = 0
     for rung in rungs:
         alive = [t for t in trials if t["alive"]]
@@ -158,16 +194,16 @@ def main(args=None) -> dict:
                 t["config"] = proposer.propose()
             tdir = os.path.join(args.out_dir, f"trial_{t['id']:03d}")
             t["state"], best = run_trial(
-                t["config"], data, num_cls=args.num_cls,
+                t["config"], data, trainer,
                 epochs_from=t["epoch"], epochs_to=rung, out_dir=tdir,
-                seed=seed + t["id"], augment=True, state=t["state"],
-                arch=args.arch, height=args.height, width=args.width)
+                seed=seed + t["id"], state=t["state"])
             if t["epoch"] == 0:
                 proposer.observe(t["config"], best)
             t["epoch"] = rung
             t["best_iou"] = max(t["best_iou"], best)
             log.info("trial %d @%d epochs: best mean_iou %.3f",
                      t["id"], rung, t["best_iou"])
+            _dump_trials()
         if rung < args.num_epochs:
             alive.sort(key=lambda t: -t["best_iou"])
             keep = max(1, math.ceil(len(alive) / args.reduction_factor))
@@ -179,7 +215,6 @@ def main(args=None) -> dict:
     best = max(trials, key=lambda t: t["best_iou"])
     result = {"best_config": best["config"], "best_iou": best["best_iou"],
               "trial": best["id"]}
-    os.makedirs(args.out_dir, exist_ok=True)
 
     if args.eval_default:
         # the hand-tuned default every study/CLI ships with
@@ -187,11 +222,10 @@ def main(args=None) -> dict:
         # no-op for MME — QUIRKS) run to the full budget with no pruning
         default_cfg = {"log_lr": -3.0, "log_lrRatio": 0.0, "log_decay": -4.0}
         _, d_best = run_trial(
-            default_cfg, data, num_cls=args.num_cls, epochs_from=0,
+            default_cfg, data, trainer, epochs_from=0,
             epochs_to=args.num_epochs,
             out_dir=os.path.join(args.out_dir, "trial_default"),
-            seed=seed, augment=True, arch=args.arch,
-            height=args.height, width=args.width)
+            seed=seed)
         result["default_config"] = default_cfg
         result["default_iou"] = d_best
         log.info("default config @%d epochs: best mean_iou %.3f",
@@ -201,11 +235,7 @@ def main(args=None) -> dict:
         json.dump(result, f, indent=2)
     # full per-trial table (config, rung reached, best mean_iou) — the
     # committed sweep artifact the reference's Ray analysis.csv carried
-    with open(os.path.join(args.out_dir, "trials.json"), "w") as f:
-        json.dump([{"id": t["id"], "config": t["config"],
-                    "epochs": t["epoch"], "best_iou": t["best_iou"],
-                    "pruned": not t["alive"]} for t in trials
-                   if t["config"] is not None], f, indent=2)
+    _dump_trials()
     print("Best hyperparameters found were: ", best["config"])
     return result
 

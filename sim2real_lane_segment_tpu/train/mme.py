@@ -51,8 +51,15 @@ class MMETrainer(SupervisedTrainer):
     def __init__(self, *, lamda: float = 0.1, **kw):
         super().__init__(**kw)
         self.lamda = lamda
-        self.tx_g = optim.sgd_nesterov(self.decay, momentum=0.9)
-        self.tx_f = optim.adamw(self.decay)
+        # Weight decay is applied INSIDE the step (see _mme_train_step_impl)
+        # so it can enter as a traced scalar like the lrs: the HPO sweep
+        # (cli/tune.py) varies decay per trial, and a decay baked into the
+        # optax chain is an HLO constant — every trial would recompile the
+        # full train step cold (~10 min/trial through the dev tunnel).
+        # wd=0.0 keeps the opt-state pytree structure identical to the
+        # decay-baked chains, so checkpoints are unaffected.
+        self.tx_g = optim.sgd_nesterov(0.0, momentum=0.9)
+        self.tx_f = optim.adamw(0.0)
 
     # -- state --------------------------------------------------------------
 
@@ -141,16 +148,23 @@ class MMETrainer(SupervisedTrainer):
                        images_lab: jax.Array, labels: jax.Array,
                        images_unl: jax.Array, key: jax.Array,
                        lr_g_fe: jax.Array, lr_g_cls: jax.Array,
-                       lr_f: jax.Array):
+                       lr_f: jax.Array, decay: jax.Array | None = None):
         return self._mme_train_step_impl(state, images_lab, labels,
                                          images_unl, key, lr_g_fe, lr_g_cls,
-                                         lr_f)
+                                         lr_f, decay)
 
     def _mme_train_step_impl(self, state: MMETrainState,
                              images_lab: jax.Array, labels: jax.Array,
                              images_unl: jax.Array, key: jax.Array,
                              lr_g_fe: jax.Array, lr_g_cls: jax.Array,
-                             lr_f: jax.Array):
+                             lr_f: jax.Array, decay: jax.Array | None = None):
+        # decay=None (every pre-existing caller): the constructor value is
+        # baked into the program as a constant — one compile per decay
+        # value, bit-identical to the old optax-chain behavior.  Passing
+        # decay as a jnp scalar instead makes it a runtime operand, so
+        # sweeps over decay share ONE compiled step (cli/tune.py).
+        if decay is None:
+            decay = jnp.float32(self.decay)
         k_aug_l, k_aug_u, k_drop_g, k_drop_f = jax.random.split(key, 4)
         if self.augment:
             x_lab, y = augment_batch(k_aug_l, images_lab, labels, self.cfg)
@@ -180,6 +194,12 @@ class MMETrainer(SupervisedTrainer):
             return adentropy(probs, self.lamda), new_bs
 
         (loss0, bs1), grads0 = jax.value_and_grad(loss_g, has_aux=True)(state.params)
+        # torch SGD applies weight decay to the gradient BEFORE the momentum
+        # buffer (g' = g + wd*p; reference MMETrainingModule.py:17-20) —
+        # exactly what optax.add_decayed_weights did at the head of the old
+        # chain; tx_g is now wd=0 so decay can be a traced operand.
+        grads0 = jax.tree_util.tree_map(lambda g, p: g + decay * p,
+                                        grads0, state.params)
         upd0, new_og = self.tx_g.update(grads0, state.opt_state_g, state.params)
         lr_tree = jax.tree_util.tree_map(
             lambda m: lr_g_fe * m + lr_g_cls * (1.0 - m), state.lr_mask_fe)
@@ -207,6 +227,11 @@ class MMETrainer(SupervisedTrainer):
 
         (loss1, bs2), grads1 = jax.value_and_grad(loss_f, has_aux=True)(params1)
         upd1, new_of = self.tx_f.update(grads1, state.opt_state_f, params1)
+        # torch AdamW adds wd*p to the UPDATE after the adam moment math
+        # (reference SimpleTrain.py:28) — the add_decayed_weights tail of
+        # the old tx_f chain, applied here with decay as a traced operand.
+        upd1 = jax.tree_util.tree_map(lambda u, p: u + decay * p,
+                                      upd1, params1)
         params2 = optim.apply_updates(params1, upd1, lr_f)
 
         logs = {"tr_loss_adent": loss0, "tr_loss": loss1}
