@@ -117,6 +117,40 @@ def test_predict_step_shapes(rng):
     assert set(np.unique(pred)) <= {0, 1, 2, 3}
 
 
+def test_mme_decay_operand_matches_baked(rng):
+    """decay passed as a traced scalar == decay baked at construction.
+
+    The HPO sweep passes decay as a step operand so all trials share one
+    compiled program (cli/tune.py, train/mme.py); this gates that the
+    operand path is bit-identical to the legacy constructor-baked path
+    for a nontrivial decay.
+    """
+    img, y = synthetic_batch(rng, n=2)
+    img_u, _ = synthetic_batch(rng, n=2)
+
+    def one_step(decay_operand):
+        tr = MMETrainer(num_cls=4, height=H, width=W, augment=False,
+                        decay=3e-3, model=tiny_model())
+        state = tr.init_state(jax.random.key(0))
+        lrs = tr.lrs_at(0)
+        extra = (jnp.float32(tr.decay),) if decay_operand else ()
+        state, logs = tr.mme_train_step(state, img, y, img_u,
+                                        jax.random.key(1), *lrs, *extra)
+        return state, logs
+
+    s_baked, l_baked = one_step(False)
+    s_arg, l_arg = one_step(True)
+    assert float(l_baked["tr_loss"]) == float(l_arg["tr_loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(s_baked.params),
+                    jax.tree_util.tree_leaves(s_arg.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s_baked.opt_state_g) +
+                    jax.tree_util.tree_leaves(s_baked.opt_state_f),
+                    jax.tree_util.tree_leaves(s_arg.opt_state_g) +
+                    jax.tree_util.tree_leaves(s_arg.opt_state_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_mme_step_runs_and_updates(rng):
     tr = MMETrainer(num_cls=4, height=H, width=W, augment=False,
